@@ -1,0 +1,129 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ealv_tpu.ops import (
+    traj_footprint,
+    traj_spread,
+    kldiv_grad,
+    renormalize,
+    cost_norm,
+    psi_matrix,
+)
+from ealv_tpu.ops.pallas_kernels import footprint_and_spread
+
+
+def _naive_psi(samples, traj, std):
+    """Direct broadcast form, mirrors the reference math exactly."""
+    inner = np.square(traj[None, :, :] - samples[:, None, :]) / np.abs(std)
+    return np.exp(-0.5 * inner.sum(-1))
+
+
+class TestFootprint:
+    def test_matches_naive(self, rng):
+        samples = rng.uniform(-1, 1, (37, 4)).astype(np.float32)
+        traj = rng.uniform(-1, 1, (21, 4)).astype(np.float32)
+        std = np.array([0.05, 0.05, 0.25, 0.25], np.float32)
+        psi = _naive_psi(samples, traj, std)
+        got = traj_footprint(jnp.array(traj), jnp.array(samples), jnp.arange(4), jnp.array(std))
+        np.testing.assert_allclose(got, psi.sum(1), rtol=2e-4, atol=1e-5)
+        got_max = traj_spread(jnp.array(traj), jnp.array(samples), jnp.arange(4), jnp.array(std))
+        np.testing.assert_allclose(got_max, psi.max(1), rtol=2e-4, atol=1e-5)
+
+    def test_explr_idx_subset(self, rng):
+        # trajectory rows are full states; only explr_idx columns count
+        samples = rng.uniform(-1, 1, (10, 2)).astype(np.float32)
+        traj_full = rng.uniform(-1, 1, (15, 4)).astype(np.float32)
+        std = np.array([0.1, 0.1], np.float32)
+        got = traj_footprint(
+            jnp.array(traj_full), jnp.array(samples), jnp.array([0, 1]), jnp.array(std)
+        )
+        want = _naive_psi(samples, traj_full[:, :2], std).sum(1)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+    def test_mask_equals_truncation(self, rng):
+        samples = rng.uniform(-1, 1, (12, 3)).astype(np.float32)
+        traj = rng.uniform(-1, 1, (30, 3)).astype(np.float32)
+        std = np.full(3, 0.07, np.float32)
+        mask = np.zeros(30, np.float32)
+        mask[:11] = 1.0
+        got = traj_footprint(
+            jnp.array(traj), jnp.array(samples), jnp.arange(3), jnp.array(std),
+            traj_mask=jnp.array(mask),
+        )
+        want = _naive_psi(samples, traj[:11], std).sum(1)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+    def test_nu_scaling(self, rng):
+        samples = rng.uniform(-1, 1, (5, 2)).astype(np.float32)
+        traj = rng.uniform(-1, 1, (7, 2)).astype(np.float32)
+        std = np.full(2, 0.1, np.float32)
+        a = traj_footprint(jnp.array(traj), jnp.array(samples), jnp.arange(2), jnp.array(std), nu=2.0)
+        b = traj_footprint(jnp.array(traj), jnp.array(samples), jnp.arange(2), jnp.array(std), nu=1.0)
+        np.testing.assert_allclose(np.asarray(a) * 2, b, rtol=1e-5)
+
+
+class TestPallasFootprint:
+    def test_matches_xla(self, rng):
+        n, t, d = 700, 900, 4  # deliberately non-multiples of the tile sizes
+        samples = rng.uniform(-1, 1, (n, d)).astype(np.float32)
+        traj = rng.uniform(-1, 1, (t, d)).astype(np.float32)
+        std = np.array([0.05, 0.05, 0.25, 0.25], np.float32)
+        mask = (rng.uniform(size=t) > 0.3).astype(np.float32)
+        interpret = jax.default_backend() != "tpu"
+        fsum, fmax = footprint_and_spread(
+            jnp.array(samples), jnp.array(traj), jnp.array(std), jnp.array(mask),
+            interpret=interpret,
+        )
+        want = psi_matrix(jnp.array(samples), jnp.array(traj), jnp.array(std), jnp.array(mask))
+        np.testing.assert_allclose(fsum, jnp.sum(want, 1), rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(fmax, jnp.max(want, 1), rtol=1e-3, atol=1e-4)
+
+
+class TestKldivGrad:
+    def test_matches_autodiff(self, rng):
+        """grad must equal d/dx [sum_n w_n psi(x, s_n)] by construction."""
+        d, n = 3, 40
+        x = rng.uniform(-1, 1, 2 * d).astype(np.float32)  # full state, explr = first half
+        samples = rng.uniform(-1, 1, (n, d)).astype(np.float32)
+        std = np.full(d, 0.2, np.float32)
+        w = rng.uniform(0.5, 2.0, n).astype(np.float32)
+        explr_idx = jnp.arange(d)
+
+        def scalar_footprint(xf):
+            xe = xf[explr_idx]
+            sq = jnp.sum(jnp.square(xe[None] - samples) / std, -1)
+            return jnp.sum(jnp.exp(-0.5 * sq) * w)
+
+        want = jax.grad(scalar_footprint)(jnp.array(x))
+        got = kldiv_grad(jnp.array(x), jnp.array(samples), explr_idx, jnp.array(std), jnp.array(w))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+    def test_zero_outside_explr(self, rng):
+        x = rng.uniform(-1, 1, 4).astype(np.float32)
+        samples = rng.uniform(-1, 1, (5, 2)).astype(np.float32)
+        got = np.asarray(
+            kldiv_grad(jnp.array(x), jnp.array(samples), jnp.array([0, 1]),
+                       jnp.full(2, 0.1), jnp.ones(5))
+        )
+        assert got[2] == 0 and got[3] == 0
+
+
+class TestNormalizers:
+    def test_renormalize_max_is_one(self, rng):
+        d = rng.uniform(0.1, 5.0, 100).astype(np.float32)
+        out = np.asarray(renormalize(jnp.array(d)))
+        np.testing.assert_allclose(out.max(), 1.0, rtol=1e-6)
+        assert (out > 0).all()
+
+    def test_renormalize_clamp_floor(self):
+        d = jnp.array([1.0, 1e-12, 1.0])
+        out = np.asarray(renormalize(d))
+        # tiny entries clamp to min_val before log, so ratio is min_val/max-prob
+        assert out[1] > 0
+
+    def test_cost_norm(self):
+        d = jnp.array([1.0, np.nan, 3.0])
+        out = np.asarray(cost_norm(d))
+        np.testing.assert_allclose(out.sum(), 1.0, rtol=1e-6)
+        assert not np.isnan(out).any()

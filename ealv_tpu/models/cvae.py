@@ -1,0 +1,294 @@
+"""Conditional VAE ("sensor-object model"), flax/TPU-native.
+
+Capability parity targets (structure + behavior, re-designed for TPU):
+  - RGB model:  franka_test/scripts/vae/vae.py (VAE :11, forward :155,
+    reparameterize :146, decode_samples_only :184, init_uniform_grid :215,
+    update_dist :223, pdf_torch :244).
+  - Force variant: vae/vae_force.py (encoder input feat+force+pose :167,
+    split_y_out :156-164, 11-tuple forward :186-197), selected by
+    ``learn_force`` (vae/__init__.py:3-8).
+  - Conv shape math: vae/vae_utils.py get_input_dim :19 / get_padding :32.
+  - z-ensemble: vae/vae_buffer.py zBufferTorch :87 + build_z_buffer
+    (vae.py:134-138).
+
+TPU-first design decisions:
+  - NHWC image layout (TPU conv native), images as (H, W, C).
+  - The reference's torch.jit.fork "chunk decoder" (vae.py:277-286) — CPU
+    thread fan-out for the 2000-sample entropy decode — disappears: the
+    batched decode IS one MXU matmul chain, optionally in bfloat16.
+  - The mutable seed/z "distribution state" (registered buffers in torch)
+    becomes an explicit ``ModelState`` pytree threaded through jitted
+    programs, so update_dist/pdf compose with lax.scan and shard_map.
+  - ``pdf`` is branchless: the pre-first-sample uniform prior
+    (init_uniform_grid) is selected with jnp.where on an ``initialized``
+    flag instead of Python control flow.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LOGVAR_LIMS = (-10.0, 2.0)  # parity: vae.py:104
+
+
+def conv_output_dims(hw, kernels, strides):
+    """Spatial dims after a VALID conv stack (parity: get_input_dim :19-30).
+
+    Returns (final_hw, per_layer_dims) where per_layer_dims[0] is the input.
+    """
+    dims = [tuple(hw)]
+    for k, s in zip(kernels, strides):
+        h, w = dims[-1]
+        dims.append(((h - k) // s + 1, (w - k) // s + 1))
+    return dims[-1], dims
+
+
+class ModelState(NamedTuple):
+    """Target-distribution runtime state (the torch registered buffers
+    seed_x/seed_y/z_samples/init of vae.py:95-101, plus the optional
+    z-ensemble ring of zBufferTorch)."""
+
+    seed_x: jax.Array  # (s_dim,)
+    seed_y: jax.Array  # (H, W, C)
+    seed_force: jax.Array  # (1,)
+    z: jax.Array  # (z_dim,)
+    z_buff: jax.Array  # (z_mem, z_dim) ensemble ring
+    initialized: jax.Array  # () bool
+
+
+class CVAE(nn.Module):
+    """Conditional VAE: image (+ optional force) conditioned on pose.
+
+    encoder: conv(img) -> flatten -> MLP([feat, (force,) pose]) -> (mu, logvar)
+    decoder: MLP([z, pose]) -> [y_logvar, (force_pred,) img_feat]
+             -> conv_transpose(img_feat) -> image prediction
+    """
+
+    img_dim: Tuple[int, int, int]  # (H, W, C)
+    z_dim: int = 16
+    s_dim: int = 2
+    hidden_dim: Sequence[int] = (512, 256)
+    cnn_kernels: Sequence[int] = (3, 3, 5)
+    cnn_strides: Sequence[int] = (2, 2, 3)
+    cnn_channels: Sequence[int] = (10, 10, 20)
+    y_logvar_dim: int = 1
+    learn_force: bool = False
+    dx: bool = False  # decode relative pose (samples - seed_x)
+    z_mem: int = 5  # z-ensemble size (build_z_buffer z_mem=5)
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        (h, w), self._dims = conv_output_dims(
+            self.img_dim[:2], self.cnn_kernels, self.cnn_strides
+        )
+        self.inner_shape = (h, w, self.cnn_channels[-1])
+        self.feat_dim = h * w * self.cnn_channels[-1]
+        self.force_dim = 1 if self.learn_force else 0
+
+        self.enc_convs = [
+            nn.Conv(c, (k, k), strides=(s, s), padding="VALID", dtype=self.compute_dtype,
+                    name=f"enc_conv{i}")
+            for i, (k, s, c) in enumerate(
+                zip(self.cnn_kernels, self.cnn_strides, self.cnn_channels)
+            )
+        ]
+        self.enc_mlp = [
+            nn.Dense(d, dtype=self.compute_dtype, name=f"enc_fc{i}")
+            for i, d in enumerate(self.hidden_dim)
+        ]
+        self.enc_out = nn.Dense(2 * self.z_dim, dtype=self.compute_dtype, name="enc_out")
+
+        self.dec_mlp = [
+            nn.Dense(d, dtype=self.compute_dtype, name=f"dec_fc{i}")
+            for i, d in enumerate(reversed(self.hidden_dim))
+        ]
+        self.dec_out = nn.Dense(
+            self.feat_dim + self.y_logvar_dim + self.force_dim,
+            dtype=self.compute_dtype,
+            name="dec_out",
+        )
+        in_channels = [self.img_dim[2]] + list(self.cnn_channels[:-1])
+        self.dec_convs = [
+            nn.ConvTranspose(c_out, (k, k), strides=(s, s), padding="VALID",
+                             dtype=self.compute_dtype, name=f"dec_conv{i}")
+            for i, (k, s, c_out) in enumerate(
+                zip(
+                    reversed(self.cnn_kernels),
+                    reversed(self.cnn_strides),
+                    reversed(in_channels),
+                )
+            )
+        ]
+
+    # ---------- sub-networks ----------
+
+    def img_encode(self, y):
+        """(B, H, W, C) -> (B, feat). Final conv unactivated, like the
+        reference's Flatten-replaces-last-ReLU (vae.py:48)."""
+        h = y.astype(self.compute_dtype)
+        for i, conv in enumerate(self.enc_convs):
+            h = conv(h)
+            if i < len(self.enc_convs) - 1:
+                h = nn.relu(h)
+        return h.reshape(h.shape[0], -1)
+
+    def img_decode(self, feat):
+        """(B, feat) -> (B, H, W, C). Edge-replicate pads fix the VALID
+        conv-transpose shape deficit (the reference's output_padding,
+        vae_utils.get_padding :32-49) without dead zero pixels."""
+        h = feat.reshape(feat.shape[0], *self.inner_shape)
+        fwd_dims = self._dims
+        for i, conv in enumerate(self.dec_convs):
+            h = conv(h)
+            target = fwd_dims[len(self.dec_convs) - 1 - i]
+            pad_h = target[0] - h.shape[1]
+            pad_w = target[1] - h.shape[2]
+            if pad_h or pad_w:
+                h = jnp.pad(h, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+            if i < len(self.dec_convs) - 1:
+                h = nn.relu(h)
+        return h
+
+    def encode_fn(self, x, y, force=None):
+        feat = self.img_encode(y)
+        parts = [feat]
+        if self.learn_force:
+            parts.append(force.astype(self.compute_dtype))
+        parts.append(x.astype(self.compute_dtype))
+        h = jnp.concatenate(parts, axis=1)
+        for fc in self.enc_mlp:
+            h = nn.relu(fc(h))
+        out = self.enc_out(h).astype(jnp.float32)
+        z_mu, z_logvar = out[:, : self.z_dim], out[:, self.z_dim :]
+        return z_mu, jnp.clip(z_logvar, *LOGVAR_LIMS)
+
+    def decode_fn(self, z, x):
+        """(B, z), (B, s) -> (img_feat, y_logvar, force_pred).
+
+        Output head layout matches split_y_out (vae_force.py:156-164):
+        [y_logvar | force_pred | img_feat], with force sharing the image
+        logvar ("combo var")."""
+        h = jnp.concatenate([z, x], axis=1).astype(self.compute_dtype)
+        for fc in self.dec_mlp:
+            h = nn.relu(fc(h))
+        out = self.dec_out(h).astype(jnp.float32)
+        v = self.y_logvar_dim
+        y_logvar = jnp.clip(out[:, :v], *LOGVAR_LIMS)
+        if self.learn_force:
+            force_pred = out[:, v : v + 1]
+            feat = out[:, v + 1 :]
+        else:
+            force_pred = jnp.zeros((out.shape[0], 1), jnp.float32)
+            feat = out[:, v:]
+        return feat, y_logvar, force_pred
+
+    # ---------- public API ----------
+
+    def __call__(self, x, y, force=None, x_decode=None, train: bool = False):
+        """Full forward pass (parity: vae.py:155-182 / vae_force.py:166-197).
+
+        Returns a dict with img_pred, img_logvar, z_mu, z_logvar, z,
+        force_pred, force_logvar, and (if x_decode given) the cross-decode
+        outputs at the second pose.
+        """
+        z_mu, z_logvar = self.encode_fn(x, y, force)
+        if train:
+            eps = jax.random.normal(self.make_rng("reparam"), z_mu.shape, z_mu.dtype)
+            z = z_mu + eps * jnp.exp(0.5 * z_logvar)
+        else:
+            z = z_mu
+
+        x_dec = jnp.zeros_like(x) if self.dx else x
+        feat, y_logvar, force_pred = self.decode_fn(z, x_dec)
+        img_pred = self.img_decode(feat).astype(jnp.float32)
+        out = dict(
+            img_pred=img_pred,
+            img_logvar=y_logvar,  # (B, y_logvar_dim); broadcast in the loss
+            z_mu=z_mu,
+            z_logvar=z_logvar,
+            z=z,
+            force_pred=force_pred,
+            force_logvar=y_logvar,  # combo var, vae_force.py:159-161
+        )
+        if x_decode is not None:
+            feat2, y_logvar2, force_pred2 = self.decode_fn(z, x_decode)
+            out.update(
+                img_pred_decode=self.img_decode(feat2).astype(jnp.float32),
+                img_logvar_decode=y_logvar2,
+                force_pred_decode=force_pred2,
+                force_logvar_decode=y_logvar2,
+            )
+        return out
+
+    def decode_samples(self, state: ModelState, samples, use_z_ensemble: bool = False):
+        """Batched decode of candidate poses with the current z seed(s) —
+        the reference's chunk-decoded hot path (decode_samples_only :184,
+        pdf_torch :244) as one fused batch.
+
+        Returns (y_logvar (N, y_logvar_dim), img_feat) averaged over the
+        z ensemble when enabled.
+        """
+        x = samples
+        if self.dx:
+            x = x - state.seed_x[None, :]
+        n = x.shape[0]
+        if use_z_ensemble:
+            zs = state.z_buff  # (z_mem, z_dim)
+            xs = jnp.broadcast_to(x[None], (self.z_mem, n, x.shape[1]))
+            feat, y_logvar, _ = self.decode_fn(
+                zs[:, None, :].repeat(n, 1).reshape(-1, self.z_dim),
+                xs.reshape(-1, x.shape[1]),
+            )
+            y_logvar = y_logvar.reshape(self.z_mem, n, -1).mean(0)
+            feat = feat.reshape(self.z_mem, n, -1).mean(0)
+        else:
+            z = jnp.broadcast_to(state.z[None, :], (n, self.z_dim))
+            feat, y_logvar, _ = self.decode_fn(z, x)
+        return y_logvar, feat
+
+    def pdf(self, state: ModelState, samples, use_z_ensemble: bool = False):
+        """Predictive-uncertainty target distribution (parity: pdf_torch
+        :244-275): exp(y_logvar) max over channels at each candidate pose;
+        uniform (init_uniform_grid :215-221) before the first sample."""
+        y_logvar, _ = self.decode_samples(state, samples, use_z_ensemble)
+        var = jnp.exp(jnp.clip(y_logvar, *LOGVAR_LIMS))
+        var = jnp.max(var, axis=1)
+        uniform = jnp.ones(samples.shape[0], jnp.float32)
+        return jnp.where(state.initialized, var, uniform)
+
+
+def init_model_state(model: CVAE) -> ModelState:
+    h, w, c = model.img_dim
+    return ModelState(
+        seed_x=jnp.zeros(model.s_dim, jnp.float32),
+        seed_y=jnp.zeros((h, w, c), jnp.float32),
+        seed_force=jnp.zeros(1, jnp.float32),
+        z=jnp.zeros(model.z_dim, jnp.float32),
+        z_buff=jnp.zeros((model.z_mem, model.z_dim), jnp.float32),
+        initialized=jnp.zeros((), bool),
+    )
+
+
+def update_dist(model: CVAE, params, state: ModelState, x, y, force=None):
+    """Re-seed the target distribution from the latest sample (parity:
+    update_dist :223-236). x (s_dim,), y (H, W, C). Returns (state, out)."""
+    force_b = None
+    if model.learn_force:
+        force_b = (force if force is not None else jnp.zeros(1))[None, :]
+    out = model.apply(params, x[None], y[None], force=force_b, train=False)
+    z = out["z"][0]
+    return (
+        state._replace(
+            seed_x=x,
+            seed_y=y,
+            seed_force=force if force is not None else state.seed_force,
+            z=z,
+            z_buff=jnp.concatenate([z[None], state.z_buff[:-1]], 0),
+            initialized=jnp.ones((), bool),
+        ),
+        out,
+    )

@@ -8,3 +8,11 @@ from .dynamics import (
 )
 from .barrier import BarrierFunction, NoBarrier, setup_barrier
 from .policies import RollPolicy, ZeroPolicy, BarrierPushPolicy, LQRPolicy, make_policy
+from .klerg import KlergConfig, KlergPlanner, PlannerState
+from .target_dists import (
+    GaussianMixtureDist,
+    gaussian_dist,
+    prior_dist,
+    UniformDist,
+    ExplrDist,
+)

@@ -67,7 +67,10 @@ class ReplayBuffer(NamedTuple):
     def capacity(self) -> int:
         return self.x.shape[0]
 
-    # ---------- mutation (functional; donate in jit for in-place) ----------
+    # ---------- mutation (functional; XLA performs the ring update in
+    # place under jit — measured 0.07 ms for a 1.2 GB buffer without
+    # donation. Do NOT use donate_argnums: the axon TPU backend
+    # invalidates sibling argument buffers on donated calls). ----------
     def push(self, x, y, force=None) -> "ReplayBuffer":
         i = self.pos
         cap = self.capacity

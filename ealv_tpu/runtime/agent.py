@@ -1,0 +1,300 @@
+"""The explore+learn experiment — SensorMain + main_async as one device program.
+
+Parity targets:
+  - SensorMain.step (dist_modules/sensor_main_module.py:117-249): sync
+    planner to measured state -> plan -> ws-convert -> command -> fetch
+    synced (pose, image, force) -> push to replay -> model reseed.
+  - post_train_mp reseed (:251-267), async main loop (main_async.py:62-158),
+    trainer throttling (trainer_ddp.py:117-131), pre_train_mp hyperparams
+    (trainer_module.py:487-545).
+
+TPU-first: the reference splits this across 7 processes (explorer, DDP
+trainers, plotters, clustering) communicating via shared memory, pipes, and
+flag files. Here ONE ExperimentState pytree holds {CVAE params, opt state,
+replay ring, planner state, env state, schedules}, and ``tick`` is a pure
+function: explore, sense, push, reseed, re-grade, train — jitted end to end,
+scanned for whole experiments. The model the planner samples is the model
+the trainer just updated, by construction (no checkpoint-file hot-swap).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import ExperimentConfig, RAW_STATES
+from ..utils.states import ws_conversion
+from ..models import CVAE
+from ..models.cvae import init_model_state, update_dist, ModelState
+from ..data.replay import ReplayBuffer
+from ..control import (
+    KlergConfig,
+    KlergPlanner,
+    make_dynamics,
+    make_policy,
+    setup_barrier,
+)
+from ..sim.env import SyntheticEnv, EnvState
+from ..sim.renderer import TrayScene
+from .trainer import TrainerStatics, train_call
+from .schedules import HyperState, hyperparam_update, entropy_grade_spread
+
+
+class ExperimentState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    mstate: ModelState
+    pstate: object  # PlannerState
+    buf: ReplayBuffer
+    env: EnvState
+    hyper: HyperState
+    key: jax.Array
+    explr_step: jax.Array  # ()
+    learning_ind: jax.Array  # () trainer calls so far
+
+
+class Experiment:
+    """Builds and runs the full online-learning experiment."""
+
+    def __init__(self, cfg: ExperimentConfig, train_calls_per_tick: int = 3,
+                 scene: Optional[TrayScene] = None):
+        self.cfg = cfg
+        self.train_calls_per_tick = train_calls_per_tick
+
+        states = cfg.states
+        self.pose_sel = jnp.asarray(
+            [RAW_STATES.rfind(s) for s in states if s != "b"], jnp.int32
+        )
+        self.b_pos = states.rfind("b")  # index within states, -1 if absent
+
+        # model
+        self.model = CVAE(
+            img_dim=cfg.image_dim,
+            z_dim=cfg.z_dim,
+            s_dim=cfg.s_dim,
+            hidden_dim=cfg.model_hidden(),
+            cnn_kernels=cfg.cnn_kernels,
+            cnn_strides=cfg.cnn_strides,
+            cnn_channels=cfg.cnn_channels,
+            y_logvar_dim=cfg.y_logvar_dim,
+            learn_force=cfg.learn_force,
+            dx=cfg.dx,
+        )
+
+        # planner over position states (double integrator appends vels)
+        pos_states = "".join(s for s in states if s == s.lower())
+        sim_dt = cfg.dt / 5.0  # sim speedup (sensor_utils.py:92-97)
+        self.dyn = make_dynamics(pos_states, dt=cfg.dt, use_magnitude=cfg.use_magnitude)
+        policy = make_policy("Roll", self.dyn, cfg.horizon)
+        kcfg = KlergConfig(
+            horizon=cfg.horizon,
+            num_target_samples=cfg.num_target_samples,
+            num_traj_samples=cfg.num_traj_samples,
+            dt=cfg.dt,
+            R=cfg.R,
+            std=cfg.std,
+            uniform_tdist="unif" in cfg.explr_method,
+            vel_smoothing=0.5,  # sim smoothing (save_update :311-313)
+        )
+
+        def pdf_fn(ctx, samples):
+            params, mstate = ctx
+            return self.model.apply(params, mstate, samples, method=CVAE.pdf)
+
+        self.planner = KlergPlanner(
+            kcfg, self.dyn, policy, pdf_fn, states,
+            explr_locs=list(range(len(states))),
+        )
+        self.trainer = TrainerStatics(
+            model=self.model,
+            batch_size=cfg.batch_size,
+            num_learning_opt=cfg.num_learning_opt,
+            gamma_weight=cfg.gamma_weight,
+            other_locs=cfg.other_locs,
+            lr=cfg.model_lr,
+        )
+
+        # environment over the full 6-dof tray box
+        from ..utils.config import TRAY_LIM
+        tray6 = tuple(TRAY_LIM[s] for s in "xyzrpw")
+        self.env = SyntheticEnv(tray_lim=tray6, dt=sim_dt, img_hw=cfg.image_dim[:2])
+        self.scene = scene
+
+        # limit boxes as arrays
+        self.tray_lim = jnp.asarray(cfg.tray_lim)
+        self.robot_lim = jnp.asarray(cfg.robot_lim)
+        self.tray_ctrl_lim = jnp.asarray(cfg.tray_ctrl_lim)
+        self.robot_ctrl_lim = jnp.asarray(cfg.robot_ctrl_lim)
+        self.tray_full_lim = jnp.concatenate([self.tray_lim, self.tray_ctrl_lim], 0)
+        self.robot_full_lim = jnp.concatenate([self.robot_lim, self.robot_ctrl_lim], 0)
+
+    # ------------------------------------------------------------------
+    def init(self, seed: int = 0) -> ExperimentState:
+        cfg = self.cfg
+        key = jax.random.PRNGKey(seed)
+        k_p, k_env, key = jax.random.split(key, 3)
+        params = self.model.init(
+            {"params": k_p},
+            jnp.zeros((1, cfg.s_dim)),
+            jnp.zeros((1, *cfg.image_dim)),
+            force=jnp.zeros((1, 1)) if cfg.learn_force else None,
+            train=False,
+        )
+        opt_state = self.trainer.make_optimizer().init(params)
+        mstate = init_model_state(self.model)
+
+        pos_states = "".join(s for s in cfg.states if s == s.lower())
+        non_vel = list(range(len(pos_states)))
+        barrier, _ = setup_barrier(
+            pos_states, self.robot_lim, self.robot_ctrl_lim[: len(pos_states)], non_vel
+        )
+        # start at tray center
+        tray_center = jnp.asarray([(lo + hi) / 2 for lo, hi in self.env.tray_lim])
+        x0r = ws_conversion(tray_center[self.pose_sel], self.tray_lim, self.robot_lim)
+        pstate = self.planner.init_state(
+            jnp.concatenate([x0r, jnp.zeros_like(x0r)]),
+            self.robot_lim, barrier,
+            buffer_capacity=cfg.traj_buffer_capacity,
+            explr_lim_scale=cfg.explr_robot_lim_scale,
+            seed=seed + 1,
+        )
+        env = self.env.init(tray_center, scene=self.scene)
+        buf = ReplayBuffer.create(
+            cfg.buffer_capacity, cfg.s_dim, cfg.image_dim, learn_force=True
+        )
+        return ExperimentState(
+            params=params, opt_state=opt_state, mstate=mstate, pstate=pstate,
+            buf=buf, env=env, hyper=HyperState.create(),
+            key=key,
+            explr_step=jnp.zeros((), jnp.int32),
+            learning_ind=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _measured_robot_state(self, env: EnvState):
+        """(pose, vel) tray -> robot coords over the explored states,
+        stacked double-integrator style (SensorMain.step :125-127,:188-189)."""
+        pose_e = env.pose[self.pose_sel]
+        vel_e = env.vel[self.pose_sel]
+        if self.b_pos >= 0:
+            pose_e = jnp.insert(pose_e, self.b_pos, env.brightness)
+            vel_e = jnp.insert(vel_e, self.b_pos, 0.0)
+        full = jnp.concatenate([pose_e, vel_e])
+        return ws_conversion(full, self.tray_full_lim, self.robot_full_lim)
+
+    def tick(self, es: ExperimentState):
+        """One exploration step + throttled learning. Pure; jit/scan me."""
+        cfg = self.cfg
+        key, k_train, k_hp = jax.random.split(es.key, 3)
+
+        # 1. sync planner to measured state
+        full_state = self._measured_robot_state(es.env)
+        pstate = self.planner.save_update(es.pstate, full_state, save=True)
+
+        # 2. plan
+        pstate, info = self.planner.plan(pstate, (es.params, es.mstate))
+        ctrl = pstate.u[0]
+        dyn_pred = self.dyn.step(pstate.dyn, ctrl)
+        m = self.dyn.num_actions
+        vel_pred_r = dyn_pred.x[m:]
+
+        # 3. command the environment (use_vel path :142-147).
+        # vel_pred_r is (m,) over the position states (runtime exploration
+        # strings are lowercase, e.g. 'xyw'; vel-state exploration like
+        # 'xyXY' is a planner-level feature exercised in the demo/tests).
+        vel_tray = ws_conversion(vel_pred_r, self.robot_ctrl_lim, self.tray_ctrl_lim)
+        vel_tray = jnp.clip(vel_tray, self.tray_ctrl_lim[:, 0], self.tray_ctrl_lim[:, 1])
+        vel6 = jnp.zeros(6).at[self.pose_sel].set(
+            jnp.delete(vel_tray, self.b_pos, assume_unique_indices=True)
+            if self.b_pos >= 0 else vel_tray
+        )
+        b_cmd = None
+        if self.b_pos >= 0:
+            tray_pos = ws_conversion(dyn_pred.x[:m], self.robot_lim, self.tray_lim)
+            b_cmd = tray_pos[self.b_pos]
+        env = es.env
+        for _ in range(cfg.data_to_ctrl_rate):
+            env = self.env.step_vel(env, vel6, b_cmd)
+
+        # 4. sense + push (:186-215)
+        pose, vel, force, img = self.env.observe(env)
+        robot_state = self._measured_robot_state(env)[: cfg.s_dim]
+        buf = es.buf.push(robot_state, img, force)
+
+        # 5. reseed the target distribution (post_train_mp :251-267)
+        mstate, _ = update_dist(self.model, es.params, es.mstate,
+                                robot_state, img,
+                                force if self.model.learn_force else None)
+
+        # 6. hyperparameters (pre_train_mp :487-545)
+        samples_hp = jax.random.uniform(
+            k_hp, (cfg.num_target_samples, cfg.s_dim),
+            minval=self.robot_lim[:, 0], maxval=self.robot_lim[:, 1],
+        )
+        pdf_vals = self.model.apply(es.params, mstate, samples_hp, method=CVAE.pdf)
+        all_x, x_mask = buf.get_all_x()
+        grade, spread = entropy_grade_spread(
+            pdf_vals, all_x, x_mask, samples_hp,
+            jnp.arange(cfg.s_dim), jnp.full(cfg.s_dim, cfg.std), cfg.xi,
+        )
+        buf = buf.update_hyperparams(es.explr_step, grade, spread)
+        hyper = hyperparam_update(
+            es.hyper, grade, spread,
+            fixed_beta=cfg.fixed_beta, beta_manual_ramp=cfg.beta_manual_ramp,
+            fixed_gamma=cfg.fixed_gamma, gamma_manual_ramp=cfg.gamma_manual_ramp,
+            other_locs=cfg.other_locs,
+            beta_start=cfg.beta_start_weight, beta_end=cfg.beta_end_weight,
+            beta_warmup_steps=cfg.beta_warmup_steps,
+            beta_warmup_epoch=cfg.beta_warmup_epoch,
+            gamma_start=cfg.gamma_start_weight, gamma_end=cfg.gamma_end_weight,
+            gamma_warmup_steps=cfg.gamma_warmup_steps,
+            gamma_warmup_epoch=cfg.gamma_warmup_epoch,
+        )
+
+        # 7. learning, throttled (train_async ratio, trainer_ddp.py:117-131):
+        # train only while learning_ind < ratio * (explr_step - warmup)
+        params, opt_state = es.params, es.opt_state
+        learning_ind = es.learning_ind
+        metrics = None
+        for i in range(self.train_calls_per_tick):
+            do = (
+                learning_ind
+                < cfg.target_learning_rate * (es.explr_step + 1 - cfg.frames_before_training)
+            ) & (es.explr_step + 1 >= cfg.frames_before_training)
+            p2, o2, mets = train_call(
+                self.trainer, params, opt_state, buf,
+                jax.random.fold_in(k_train, i), hyper.beta, hyper.gamma,
+            )
+            params = jax.tree.map(lambda a, b: jnp.where(do, b, a), params, p2)
+            opt_state = jax.tree.map(
+                lambda a, b: jnp.where(do, b, a) if isinstance(a, jax.Array) else b,
+                opt_state, o2,
+            )
+            learning_ind = learning_ind + do.astype(jnp.int32)
+            metrics = mets
+        hyper = hyper._replace(iter=hyper.iter + self.trainer.num_learning_opt)
+
+        es = ExperimentState(
+            params=params, opt_state=opt_state, mstate=mstate, pstate=pstate,
+            buf=buf, env=env, hyper=hyper, key=key,
+            explr_step=es.explr_step + 1, learning_ind=learning_ind,
+        )
+        tick_info = {
+            "ergodic_cost": info["cost"],
+            "loss": metrics["loss"][-1] if metrics is not None else jnp.zeros(()),
+            "beta": hyper.beta,
+            "gamma": hyper.gamma,
+            "robot_state": robot_state,
+            "force": force,
+        }
+        return es, tick_info
+
+    def run_chunk(self, es: ExperimentState, n_steps: int):
+        """n exploration steps fused into one device program (lax.scan) —
+        the TPU-native replacement for the reference's process tree."""
+        def body(carry, _):
+            return self.tick(carry)
+        return jax.lax.scan(body, es, None, length=n_steps)

@@ -1,0 +1,2 @@
+from .renderer import TrayScene, render_camera
+from .env import SyntheticEnv, EnvState

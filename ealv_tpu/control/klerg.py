@@ -33,7 +33,13 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import renormalize, cost_norm, traj_footprint, traj_spread, kldiv_grad
+from ..ops import (
+    renormalize,
+    cost_norm,
+    traj_footprint,
+    traj_spread,
+    kldiv_grad_batch,
+)
 from ..data.replay import TrajMemory
 from .dynamics import rk4_step, DynState
 from .policies import BarrierPushPolicy, ZeroPolicy, RollPolicy
@@ -151,24 +157,45 @@ class KlergPlanner:
         def body(s, ut):
             s2 = self.dyn.step(s, ut)
             return s2, s2.x
-        _, xs = jax.lax.scan(body, dyn0, u)
+        _, xs = jax.lax.scan(body, dyn0, u, unroll=True)
         return jnp.concatenate([dyn0.x[None], xs], 0)
 
     def _traj_states(self, dyn0: DynState, u):
-        """(H, n) post-step states (get_cost's traj_list, klerg.py:690)."""
+        """(H, n) post-step states (get_cost's traj_list, klerg.py:690).
+        ``u`` may be batched (..., H, m) -> (..., H, n): candidate plans roll
+        out together as one batched program instead of per-candidate chains.
+        """
         def body(s, ut):
             s2 = self.dyn.step(s, ut)
             return s2, s2.x
-        return jax.lax.scan(body, dyn0, u)[1]
+        if u.ndim == 2:
+            return jax.lax.scan(body, dyn0, u, unroll=True)[1]
+        roll = lambda uu: jax.lax.scan(body, dyn0, uu, unroll=True)[1]
+        return jax.vmap(roll)(u)
 
     def _cost(self, dyn0, u_test, samples, p_n, q_base, barrier):
-        """KL + barrier cost of a candidate plan (parity: get_cost :686-710).
-        ``p_n`` is the cost-normalized target."""
-        traj = self._traj_states(dyn0, u_test)
-        q_iter = traj_footprint(traj, samples, self.explr_locs, self.std)
-        q = cost_norm(renormalize(q_base + q_iter))
-        d_kl = jnp.sum(p_n * jnp.log(p_n / q))
-        barr = jnp.sum(barrier.batch(traj))
+        """KL + barrier cost of candidate plan(s) (parity: get_cost :686-710).
+        ``p_n`` is the cost-normalized target. ``u_test`` (H, m) -> scalar,
+        or batched (K, H, m) -> (K,) costs in ONE footprint kernel."""
+        if u_test.ndim == 2:
+            traj = self._traj_states(dyn0, u_test)
+            q_iter = traj_footprint(traj, samples, self.explr_locs, self.std)
+            q = cost_norm(renormalize(q_base + q_iter))
+            d_kl = jnp.sum(p_n * jnp.log(p_n / q))
+            barr = jnp.sum(barrier.batch(traj))
+            return d_kl + barr
+        from ..ops import psi_matrix
+
+        trajs = self._traj_states(dyn0, u_test)  # (K, H, n)
+        k, h, _ = trajs.shape
+        flat = trajs.reshape(k * h, -1)[:, self.explr_locs]
+        psi_m = psi_matrix(samples, flat, self.std)  # (N, K*H) — ONE kernel
+        q_iters = jnp.moveaxis(psi_m.reshape(-1, k, h).sum(-1), 1, 0)  # (K, N)
+        q = renormalize(q_base[None, :] + q_iters, axis=1)
+        q = jnp.where(jnp.isnan(q), 1e-6, q)
+        q = q / jnp.sum(q, axis=1, keepdims=True)
+        d_kl = jnp.sum(p_n[None, :] * jnp.log(p_n[None, :] / q), axis=1)
+        barr = jax.vmap(lambda t: jnp.sum(barrier.batch(t)))(trajs)
         return d_kl + barr
 
     def _forward(self, pstate: PlannerState, u, idx):
@@ -186,17 +213,21 @@ class KlergPlanner:
             s2 = self.dyn.step(s, u_eff)
             return s2, (u_eff, x_t, A, B, dbarr, dmu)
 
-        _, (u_eff, xs, A, B, dbarr, dmu) = jax.lax.scan(body, pstate.dyn, u_init)
+        _, (u_eff, xs, A, B, dbarr, dmu) = jax.lax.scan(
+            body, pstate.dyn, u_init, unroll=True
+        )
         return u_eff, xs, A, B, dbarr, dmu
 
     def _backward(self, samples, p, q, xs, A, B, dbarr, dmu):
         """Costate integration (parity: backward :433-450, rho_dot :590-593).
         Returns (du (H,m), djdlam (H,))."""
         ratio = p / q
+        # dgdx is rho-independent: one batched (H, N) kernel up front, so
+        # the reverse scan is a pure chain of tiny matrix recursions
+        dgdx_all = kldiv_grad_batch(xs, samples, self.explr_locs, self.std, ratio)
 
         def body(rho, inp):
-            x_t, A_t, B_t, db_t, dmu_t = inp
-            dgdx = kldiv_grad(x_t, samples, self.explr_locs, self.std, ratio)
+            dgdx, A_t, B_t, db_t, dmu_t = inp
             def rho_dot(r, _):
                 return dgdx - db_t - (A_t + B_t @ dmu_t).T @ r
             rho2 = rk4_step(rho_dot, -self.cfg.dt, rho, None)
@@ -206,7 +237,7 @@ class KlergPlanner:
 
         rho0 = jnp.zeros(self.dyn.num_states, jnp.float32)
         _, (du, djdlam) = jax.lax.scan(
-            body, rho0, (xs, A, B, dbarr, dmu), reverse=True
+            body, rho0, (dgdx_all, A, B, dbarr, dmu), reverse=True, unroll=True
         )
         return du, djdlam
 
@@ -240,8 +271,13 @@ class KlergPlanner:
         return jnp.clip(u, self.control_lim[:, 0], self.control_lim[:, 1])
 
     def _line_search(self, cost_fn, t_app, u_app, u, idx, J0):
-        """Fixed-trip masked re-expression of line_search :712-751.
-        Returns (tau_i, tau_f, success)."""
+        """Fixed-trip re-expression of line_search :712-751.
+
+        TPU-first: ALL candidate windows (lam = 1..max_app_dur) are costed in
+        ONE batched rollout+footprint call up front (the reference evaluates
+        them sequentially in a data-dependent while loop); the sequential
+        early-stopping acceptance then runs as a cheap masked scan over the
+        precomputed cost vector. Returns (tau_i, tau_f, success)."""
         H = self.cfg.horizon
         mad = self.cfg.max_app_dur
 
@@ -265,35 +301,38 @@ class KlergPlanner:
             tf = jnp.where(t_app == idx, lam + 1, jnp.where(t_app == H - 1, t_app, t_app + lam + 1))
             return ti, tf
 
-        def fill(ti, tf):
-            t = jnp.arange(H)
-            m = ((t >= ti) & (t < tf))[:, None]
-            return jnp.where(m, u_app[None, :], u)
+        lams = jnp.arange(1, mad + 1)
+        tis, tfs = jax.vmap(window)(lams)  # (mad,)
+        t = jnp.arange(H)
+        masks = (t[None, :] >= tis[:, None]) & (t[None, :] < tfs[:, None])  # (mad, H)
+        u_variants = jnp.where(masks[:, :, None], u_app[None, None, :], u[None, :, :])
+        Js = cost_fn(u_variants)  # (mad,) — one batched cost evaluation
 
-        def body(carry, _):
-            done, lam, ti_l, tf_l, Jn_last, ti, tf, Jn = carry
-            active = (~done) & (lam > 0)
+        def body(carry, k):
+            done, ti_l, tf_l, Jn_last, ti, tf, Jn = carry
+            lam_k = lam0 - k
+            active = (~done) & (lam_k > 0)
             # save current as "last" before testing the new window (:727-728)
             ti_l2 = jnp.where(active, ti, ti_l)
             tf_l2 = jnp.where(active, tf, tf_l)
             Jn_last2 = jnp.where(active, Jn, Jn_last)
-            ti2, tf2 = window(lam)
-            Jn2 = jnp.where(active, cost_fn(fill(ti2, tf2)), Jn)
-            lam2 = jnp.where(active, lam - 1, lam)
+            ti2 = tis[lam_k - 1]
+            tf2 = tfs[lam_k - 1]
+            Jn2 = jnp.where(active, Js[lam_k - 1], Jn)
             done2 = done | (active & (Jn_last2 < J0) & (Jn2 > Jn_last2))
-            return (done2, lam2,
+            return (done2,
                     jnp.where(active, ti_l2, ti_l), jnp.where(active, tf_l2, tf_l),
                     Jn_last2,
                     jnp.where(active, ti2, ti), jnp.where(active, tf2, tf),
                     Jn2), None
 
-        init = (jnp.zeros((), bool), lam0,
+        init = (jnp.zeros((), bool),
                 jnp.asarray(idx), lam0,  # tau_last = [idx, lam] (:724)
                 J0 * 2.0,  # Jn_last placeholder
                 jnp.asarray(idx), lam0,  # current tau
                 J0 * 2.0)
-        (done, lam, ti_l, tf_l, Jn_last, ti, tf, Jn), _ = jax.lax.scan(
-            body, init, None, length=mad
+        (done, ti_l, tf_l, Jn_last, ti, tf, Jn), _ = jax.lax.scan(
+            body, init, jnp.arange(mad), unroll=True
         )
         # post-loop acceptance (:748-750)
         take_cur = (~done) & (Jn < J0)

@@ -14,6 +14,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 
 class GaussianMixtureDist(NamedTuple):
@@ -66,7 +67,8 @@ class UniformDist(NamedTuple):
         return val / jnp.sum(val) + 1e-5
 
 
-class ExplrDist(NamedTuple):
+@struct.dataclass
+class ExplrDist:
     """Gaussian-mixture-from-pushed-points target used for fingerprint
     capture (parity: sensor_test_module.py ExplrDist :229-278): a ring of
     (mean, std) pairs; pdf = mean over pushed components; before any push it
@@ -76,7 +78,7 @@ class ExplrDist(NamedTuple):
     means: jax.Array  # (cap, d)
     stds: jax.Array  # (cap, d)
     size: jax.Array  # ()
-    invert: bool = False
+    invert: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, capacity: int, dim: int, invert: bool = False):
@@ -90,7 +92,7 @@ class ExplrDist(NamedTuple):
     def push(self, mean, std) -> "ExplrDist":
         cap = self.means.shape[0]
         i = self.size % cap
-        return self._replace(
+        return self.replace(
             means=self.means.at[i].set(mean),
             stds=self.stds.at[i].set(std),
             size=jnp.minimum(self.size + 1, cap),

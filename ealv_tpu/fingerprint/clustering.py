@@ -1,0 +1,191 @@
+"""Object discovery: uncertainty-scored sampling + clustering.
+
+Parity target: dist_modules/clustering.py find_clusters (:97-231) and
+process_clusters (:334-394): sample candidate poses, score each by the
+model's mean decoded image variance under a batch of replay seeds
+(decode_samples_only -> exp -> mean, cubed :184-199), reweight-resample
+toward informative regions, cluster (MeanShift / kmeans / GMM), and merge
+overlapping cluster centers (:213-231).
+
+TPU-first: the S-seed x N-sample variance scoring — the reference loops
+seeds and chunk-decodes on CPU threads — is one vmapped batched decode.
+Mean-shift runs as a fixed-iteration jitted kernel; kmeans/GMM variants use
+sklearn on host (parity fallbacks, small data).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import CVAE
+from ..models.cvae import ModelState, update_dist
+
+
+def score_samples(model: CVAE, params, seeds_x, seeds_y, samples,
+                  seeds_force=None):
+    """Mean decoded variance of ``samples`` under each seed's z, averaged
+    over seeds and cubed (parity: clustering.py:184-203).
+
+    seeds_x: (S, s_dim), seeds_y: (S, H, W, C), samples: (N, s_dim) ->
+    (N,) unnormalized "objectness" weights.
+    """
+    from .identify import _encode_seed_z  # shared batched seeding
+
+    z_seeds = _encode_seed_z(model, params, seeds_x, seeds_y, seeds_force)
+
+    def per_seed(z, sx):
+        x = samples - sx[None, :] if model.dx else samples
+        n = samples.shape[0]
+        feat, y_logvar, _ = model.apply(
+            params,
+            jnp.broadcast_to(z[None, :], (n, z.shape[0])),
+            x,
+            method=CVAE.decode_fn,
+        )
+        return jnp.mean(jnp.exp(y_logvar), axis=1)
+
+    meas = jax.vmap(per_seed)(z_seeds, seeds_x)  # (S, N)
+    return jnp.mean(meas, axis=0) ** 3
+
+
+def reweight_resample(key, samples, weights, num_draws: int):
+    """Weighted-to-unweighted resampling (process_clusters :337-344)."""
+    idx = jax.random.categorical(
+        key, jnp.log(jnp.maximum(weights, 1e-30)), shape=(num_draws,)
+    )
+    return samples[idx]
+
+
+def mean_shift(X, bandwidth: float, iters: int = 30):
+    """Fixed-iteration flat-kernel mean shift (replaces sklearn MeanShift,
+    process_clusters :381-387). X: (N, d). Returns shifted points (N, d)."""
+    X = jnp.asarray(X, jnp.float32)
+
+    def body(pts, _):
+        d2 = jnp.sum((pts[:, None, :] - X[None, :, :]) ** 2, axis=-1)
+        w = (d2 <= bandwidth**2).astype(jnp.float32)
+        new = (w @ X) / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-9)
+        return new, None
+
+    return jax.lax.scan(body, X, None, length=iters)[0]
+
+
+def extract_modes(shifted, bandwidth: float, min_count: int = 10):
+    """Collapse converged points into cluster centers + labels (host-side,
+    small). Points whose mode attracts < min_count members get label -1
+    (parity: MeanShift(cluster_all=False, min_bin_freq=10))."""
+    pts = np.asarray(shifted)
+    centers: list[np.ndarray] = []
+    labels = np.full(pts.shape[0], -1, np.int64)
+    for i, p in enumerate(pts):
+        for j, c in enumerate(centers):
+            if np.linalg.norm(p - c) < bandwidth / 2:
+                labels[i] = j
+                break
+        else:
+            centers.append(p.copy())
+            labels[i] = len(centers) - 1
+    centers_arr = np.array(centers) if centers else np.zeros((0, pts.shape[1]))
+    # refine centers to member means; drop small clusters
+    keep, means = [], []
+    for j in range(len(centers)):
+        members = labels == j
+        if members.sum() >= min_count:
+            keep.append(j)
+            means.append(pts[members].mean(0))
+    relabel = {j: k for k, j in enumerate(keep)}
+    labels = np.array([relabel.get(l, -1) for l in labels])
+    return (np.array(means) if means else np.zeros((0, pts.shape[1]))), labels
+
+
+def merge_overlapping(cluster_means, labels, sq_thresh: float = 0.04):
+    """Iteratively drop the most-overlapping center until pairwise squared
+    distances exceed the threshold (parity: clustering.py:213-231)."""
+    means = np.asarray(cluster_means).copy()
+    labels = np.asarray(labels).copy()
+    while len(means) > 1:
+        n = len(means)
+        dists = np.sum((means[None] - means[:, None]) ** 2, 2) + np.eye(n)
+        overlap = dists < sq_thresh
+        if not overlap.any():
+            break
+        drop = int(np.argmax(overlap.sum(1)))
+        new_labels = np.arange(n)
+        new_labels = np.delete(new_labels, drop)
+        mapping = {old: new for new, old in enumerate(new_labels)}
+        labels = np.array([mapping.get(l, -1) for l in labels])
+        means = means[np.arange(n) != drop]
+    return means, labels
+
+
+class ClusterResult(NamedTuple):
+    means: np.ndarray  # (K, d)
+    labels: np.ndarray  # (M,) -1 for outliers
+    points: np.ndarray  # (M, d) resampled points that were clustered
+    blank_means: np.ndarray | None  # low-information regions
+
+
+def find_clusters(
+    model: CVAE,
+    params,
+    seeds_x,
+    seeds_y,
+    key,
+    robot_lim,
+    num_pts: int = 1000,
+    num_fingerprints: int = 2,
+    plot_idx=(0, 1),
+    cluster_method: str = "shift",
+    cluster_by_plot_idx: bool = True,
+    bandwidth: float = 0.25,
+    scale: float = 1.0,
+    get_blank: bool = False,
+    seeds_force=None,
+) -> ClusterResult:
+    """End-to-end object discovery (parity: clustering.find_clusters)."""
+    robot_lim = jnp.asarray(robot_lim, jnp.float32)
+    k1, k2, k3 = jax.random.split(key, 3)
+    samples = jax.random.uniform(
+        k1, (num_pts, robot_lim.shape[0]),
+        minval=robot_lim[:, 0] * scale, maxval=robot_lim[:, 1] * scale,
+    )
+    weights = score_samples(model, params, seeds_x, seeds_y, samples, seeds_force)
+    resampled = reweight_resample(k2, samples, weights, num_pts // 2)
+
+    X = resampled[:, jnp.asarray(plot_idx)] if cluster_by_plot_idx else resampled
+
+    if cluster_method == "shift":
+        shifted = mean_shift(X, bandwidth)
+        means, labels = extract_modes(shifted, bandwidth)
+    elif cluster_method == "kmeans":
+        from scipy.cluster.vq import kmeans2
+        means, labels = kmeans2(np.asarray(X), k=num_fingerprints, minit="points",
+                                seed=0)
+    elif cluster_method == "gmm":
+        from sklearn.mixture import GaussianMixture
+        gmm = GaussianMixture(n_components=num_fingerprints,
+                              covariance_type="tied", n_init=10).fit(np.asarray(X))
+        means, labels = gmm.means_, gmm.predict(np.asarray(X))
+    else:
+        raise ValueError(f"unknown cluster method {cluster_method!r}")
+
+    means, labels = merge_overlapping(means, labels)
+
+    blank_means = None
+    if get_blank:
+        inv = -weights + jnp.min(weights) + jnp.max(weights)  # AvoidDist flip
+        blanks = reweight_resample(k3, samples, inv, num_pts // 2)
+        Xb = blanks[:, jnp.asarray(plot_idx)] if cluster_by_plot_idx else blanks
+        shifted_b = mean_shift(Xb, bandwidth)
+        blank_means, _ = extract_modes(shifted_b, bandwidth)
+
+    return ClusterResult(
+        means=np.asarray(means),
+        labels=np.asarray(labels),
+        points=np.asarray(X),
+        blank_means=blank_means,
+    )

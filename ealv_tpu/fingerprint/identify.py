@@ -1,0 +1,241 @@
+"""Fingerprint identification: match live images against stored signatures.
+
+Parity targets (dist_modules/fingerprint_module.py):
+  - FingerprintID.process_fingerprint (:300-343): decode the test image at
+    every stored seed pose of each fingerprint, compare latents
+    (latent_distance) or images ('error' mode), keep the best match.
+  - push_update (:351-406): turn the best match into a relative-pose belief
+    sample — SO(2) yaw composition with optional yaw reflection, converted
+    through tray-space angles — pushed into that fingerprint's belief grid.
+
+TPU-first: the reference spawns one OS process per (model, dist-method)
+worker (test_fingerprint_main.py:77-169); here the K fingerprints x S seeds
+forward passes are ONE vmapped batched call, and the belief updates are
+jitted pytree transforms.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import CVAE
+from ..utils.states import ws_conversion
+from .distances import latent_distance
+from .belief import FingerprintBelief
+
+
+def _encode_seed_z(model: CVAE, params, seeds_x, seeds_y, seeds_force=None):
+    """Batched z seeds for a set of (x, y) pairs (eval-mode encode)."""
+    force = None
+    if model.learn_force:
+        force = seeds_force if seeds_force is not None else jnp.zeros(
+            (seeds_x.shape[0], 1)
+        )
+    out = model.apply(params, seeds_x, seeds_y, force=force, train=False)
+    return out["z"]
+
+
+class FingerprintSet(NamedTuple):
+    """K stacked fingerprints (uniform S via padding + mask)."""
+
+    z_mu: jax.Array  # (K, S, z)
+    z_logvar: jax.Array  # (K, S, z)
+    x: jax.Array  # (K, S, d) seed poses (robot coords)
+    center: jax.Array  # (K, d)
+    center_img: jax.Array  # (K, H, W, C)
+    mask: jax.Array  # (K, S) valid-sample mask
+
+    @classmethod
+    def from_lists(cls, dicts):
+        """Stack per-fingerprint dicts {z_mu, z_var, x, center, center_img}
+        (the capture artifacts, build_fingerprints:327-337), padding S."""
+        smax = max(d["x"].shape[0] for d in dicts)
+
+        def pad(a):
+            a = np.asarray(a, np.float32)
+            return np.concatenate(
+                [a, np.repeat(a[-1:], smax - a.shape[0], axis=0)], 0
+            ) if a.shape[0] < smax else a
+
+        mask = np.zeros((len(dicts), smax), np.float32)
+        for i, d in enumerate(dicts):
+            mask[i, : d["x"].shape[0]] = 1.0
+        return cls(
+            z_mu=jnp.stack([pad(d["z_mu"]) for d in dicts]),
+            z_logvar=jnp.stack([pad(d["z_var"]) for d in dicts]),
+            x=jnp.stack([pad(d["x"]) for d in dicts]),
+            center=jnp.stack([np.asarray(d["center"], np.float32) for d in dicts]),
+            center_img=jnp.stack(
+                [np.asarray(d["center_img"], np.float32) for d in dicts]
+            ),
+            mask=jnp.asarray(mask),
+        )
+
+
+def identify_step(model: CVAE, params, fps: FingerprintSet, test_x, test_y,
+                  dist_method: str = "L2", error_mode: bool = False,
+                  test_force=None):
+    """Match one (pose, image) observation against all fingerprints at once.
+
+    Returns (best_dist (K,), best_seed_state (K, d)) — the reference's
+    argsort[:1] subset per fingerprint (push_update :358-361).
+    """
+    k, s, d = fps.x.shape
+
+    def per_fp(seed_x, stored_mu, stored_logvar, mask):
+        seed_y = jnp.broadcast_to(test_y[None], (s, *test_y.shape))
+        force = None
+        if model.learn_force:
+            f = test_force if test_force is not None else jnp.zeros(1)
+            force = jnp.broadcast_to(f[None], (s, 1))
+        out = model.apply(params, seed_x, seed_y, force=force, train=False)
+        if error_mode:
+            diff = out["img_pred"] - seed_y
+            dists = jnp.sqrt(jnp.sum(diff**2, axis=(1, 2, 3)))
+        else:
+            dists = latent_distance(
+                dist_method, stored_mu, stored_logvar, out["z_mu"], out["z_logvar"]
+            )
+        dists = jnp.where(mask > 0, dists, jnp.inf)
+        best = jnp.argmin(dists)
+        return dists[best], seed_x[best]
+
+    return jax.vmap(per_fp)(fps.x, fps.z_mu, fps.z_logvar, fps.mask)
+
+
+def relative_pose_beliefs(
+    states: str,
+    test_state,
+    fp_states,  # (K, d) best-matching stored seed poses
+    centers,  # (K, d) fingerprint centers
+    robot_lim,
+    tray_lim,
+    reflect_w: bool = True,
+):
+    """Relative-pose belief samples (parity: push_update :362-404).
+
+    With yaw in the state string: convert yaw to real (tray) angles, compose
+    belief_xyz = test_xyz + (R_fp^T R_test) (center_xyz - fp_xyz) and
+    belief_w from R_fp^T R_center R_test, wrap, optionally append the yaw
+    reflection (w + 2pi sign(w)), convert yaw back. Without yaw it reduces
+    to test - fp + center. Returns (K or 2K, d) belief states in the
+    exploration state order.
+    """
+    robot_lim = jnp.asarray(robot_lim, jnp.float32)
+    tray_lim = jnp.asarray(tray_lim, jnp.float32)
+    test_state = jnp.asarray(test_state, jnp.float32)
+    fp_states = jnp.atleast_2d(jnp.asarray(fp_states, jnp.float32))
+    centers = jnp.atleast_2d(jnp.asarray(centers, jnp.float32))
+
+    if "w" not in states:
+        return test_state[None, :] - fp_states + centers
+
+    w_i = states.rfind("w")
+
+    def to_tray_w(v):
+        return ws_conversion(v[..., None], robot_lim[w_i], tray_lim[w_i])[..., 0]
+
+    def to_robot_w(v):
+        return ws_conversion(v[..., None], tray_lim[w_i], robot_lim[w_i])[..., 0]
+
+    def xyz_of(v):
+        """(..., d) state -> (..., 3) padded xyz in canonical order."""
+        parts = []
+        for c in "xyz":
+            i = states.rfind(c)
+            parts.append(v[..., i] if i >= 0 else jnp.zeros(v.shape[:-1]))
+        return jnp.stack(parts, -1)
+
+    fp_w = to_tray_w(fp_states[:, w_i])
+    test_w = to_tray_w(test_state[w_i])
+    mean_w = to_tray_w(centers[:, w_i])
+
+    def rz(a):
+        c, s_ = jnp.cos(a), jnp.sin(a)
+        z = jnp.zeros_like(a)
+        o = jnp.ones_like(a)
+        return jnp.stack(
+            [jnp.stack([c, -s_, z], -1), jnp.stack([s_, c, z], -1),
+             jnp.stack([z, z, o], -1)], -2
+        )
+
+    fp_rot_t = jnp.swapaxes(rz(fp_w), -1, -2)  # (K, 3, 3)
+    test_rot = rz(jnp.broadcast_to(test_w, fp_w.shape))
+    mean_rot = rz(mean_w)
+
+    diff = xyz_of(centers) - xyz_of(fp_states)  # (K, 3)
+    test_xyz = jnp.broadcast_to(xyz_of(test_state), diff.shape)
+    if "z" not in states:
+        diff = diff.at[:, 2].set(0.0)
+        test_xyz = test_xyz.at[:, 2].set(0.0)
+    belief_xyz = test_xyz + jnp.einsum(
+        "kij,kjl,kl->ki", fp_rot_t, test_rot, diff
+    )
+    comp = fp_rot_t @ mean_rot @ test_rot
+    belief_w = jnp.arctan2(comp[:, 1, 0], comp[:, 0, 0])
+    belief_w = (belief_w + jnp.pi) % (2 * jnp.pi) - jnp.pi
+
+    if reflect_w:
+        refl = belief_w + 2 * jnp.pi * jnp.sign(belief_w)
+        belief_xyz = jnp.concatenate([belief_xyz, belief_xyz], 0)
+        belief_w = jnp.concatenate([belief_w, refl], 0)
+
+    belief_w = to_robot_w(belief_w)
+
+    # reassemble into the exploration state order
+    cols = []
+    for c in states:
+        if c == "w":
+            cols.append(belief_w)
+        elif c in "xyz":
+            cols.append(belief_xyz[:, "xyz".index(c)])
+        else:
+            cols.append(jnp.broadcast_to(test_state[states.rfind(c)], belief_w.shape))
+    return jnp.stack(cols, -1)
+
+
+def update_beliefs(
+    model: CVAE,
+    params,
+    fps: FingerprintSet,
+    beliefs: list,
+    test_state,
+    test_y,
+    states: str,
+    robot_lim,
+    tray_lim,
+    dist_method: str = "L2",
+    error_mode: bool = False,
+    reflect_w: bool = True,
+    test_force=None,
+):
+    """One identification tick: match + relative-pose compose + belief fusion
+    for every fingerprint (the per-observation work of test_fingerprints
+    :285-343). Returns (new_beliefs, best_dists)."""
+    dists, best_states = identify_step(
+        model, params, fps, jnp.asarray(test_state), test_y,
+        dist_method, error_mode, test_force,
+    )
+    if error_mode:
+        samples = jnp.broadcast_to(jnp.asarray(test_state)[None, :], fps.center.shape)
+        vals = dists
+        new = [
+            b.push(samples[i], vals[i]).update_prior() for i, b in enumerate(beliefs)
+        ]
+        return new, dists
+
+    bel_states = relative_pose_beliefs(
+        states, test_state, best_states, fps.center, robot_lim, tray_lim, reflect_w
+    )
+    k = fps.center.shape[0]
+    reps = bel_states.shape[0] // k  # 2 with reflection
+    new = []
+    for i, b in enumerate(beliefs):
+        for r in range(reps):
+            b = b.push(bel_states[r * k + i], dists[i])
+        new.append(b.update_prior())
+    return new, dists

@@ -3,6 +3,7 @@ from .kernels import (
     traj_footprint,
     traj_spread,
     kldiv_grad,
+    kldiv_grad_batch,
     renormalize,
     cost_norm,
     pairwise_scaled_sqdist,

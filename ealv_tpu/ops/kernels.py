@@ -100,6 +100,22 @@ def kldiv_grad(x, samples, explr_idx, std, importance_ratio, nu=1.0):
     return jnp.zeros_like(x).at[explr_idx].set(g)
 
 
+def kldiv_grad_batch(xs, samples, explr_idx, std, importance_ratio, nu=1.0):
+    """kldiv_grad for a whole trajectory at once: (T, n_states) -> (T, n).
+
+    The costate recursion needs dgdx at every horizon step; none of them
+    depend on rho, so they batch into one (T, N) kernel instead of T
+    sequential calls (the reference recomputes per step inside its backward
+    loop, klerg.py:443)."""
+    xs_e = xs[:, explr_idx]  # (T, d)
+    std_a = jnp.abs(std)
+    diff = -(xs_e[:, None, :] - samples[None, :, :]) / std_a  # (T, N, d)
+    psi = psi_matrix(xs_e, samples, std)  # (T, N)
+    w = psi * importance_ratio[None, :] / nu
+    g = jnp.einsum("tnd,tn->td", diff, w)
+    return jnp.zeros((xs.shape[0], xs.shape[1]), xs.dtype).at[:, explr_idx].set(g)
+
+
 def cost_norm(dist):
     """Nan-safe sum-normalization (klerg_utils.py:38-42), functional."""
     dist = jnp.where(jnp.isnan(dist), 1e-6, dist)

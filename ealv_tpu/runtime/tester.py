@@ -1,0 +1,171 @@
+"""Evaluation runtime — exploration with a frozen model / injected target.
+
+Parity target: SensorTest (dist_modules/sensor_test_module.py:24-278): the
+SensorMain step loop with NO learning, an injectable target distribution
+(fingerprint belief, ExplrDist, or the frozen model's uncertainty),
+exploration restricted to a state subset with re-sliced limits
+(start_robot :82-111), and runtime pose/vel controller switching
+(start_explr / use_pose :113-141).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.config import ExperimentConfig, RAW_STATES, TRAY_LIM
+from ..utils.states import ws_conversion
+from ..control import (
+    KlergConfig,
+    KlergPlanner,
+    make_dynamics,
+    make_policy,
+    setup_barrier,
+)
+from ..sim.env import SyntheticEnv, EnvState
+from ..sim.renderer import TrayScene
+
+
+class EvalState(NamedTuple):
+    pstate: object
+    env: EnvState
+    key: jax.Array
+    step: jax.Array
+
+
+class EvalExperiment:
+    """Exploration-only runtime over the synthetic env with an arbitrary
+    ``pdf_fn(ctx, samples)`` target (fingerprint belief grids, ExplrDist
+    mixtures, or a frozen CVAE's uncertainty)."""
+
+    def __init__(self, cfg: ExperimentConfig, pdf_fn: Callable,
+                 explr_states: Optional[str] = None,
+                 scene: Optional[TrayScene] = None,
+                 kernel_std_scale: float = 1.0):
+        self.cfg = cfg
+        # state-subset restriction (start_robot :82-111): explore only a
+        # subset of the configured states; the rest hold their start values
+        self.explr_states = explr_states or cfg.states
+        assert all(s in cfg.states for s in self.explr_states)
+        self.pose_sel = jnp.asarray(
+            [RAW_STATES.rfind(s) for s in self.explr_states if s != "b"], jnp.int32
+        )
+        self.b_pos = self.explr_states.rfind("b")
+
+        sub = [cfg.states.rfind(s) for s in self.explr_states]
+        self.tray_lim = jnp.asarray(cfg.tray_lim)[jnp.asarray(sub)]
+        self.robot_lim = jnp.asarray(cfg.robot_lim)[jnp.asarray(sub)]
+        self.tray_ctrl_lim = jnp.asarray(cfg.tray_ctrl_lim)[jnp.asarray(sub)]
+        self.robot_ctrl_lim = jnp.asarray(cfg.robot_ctrl_lim)[jnp.asarray(sub)]
+        self.tray_full_lim = jnp.concatenate([self.tray_lim, self.tray_ctrl_lim], 0)
+        self.robot_full_lim = jnp.concatenate([self.robot_lim, self.robot_ctrl_lim], 0)
+
+        pos_states = "".join(s for s in self.explr_states if s == s.lower())
+        self.dyn = make_dynamics(pos_states, dt=cfg.dt)
+        policy = make_policy("Roll", self.dyn, cfg.horizon)
+        kcfg = KlergConfig(
+            horizon=cfg.horizon,
+            num_target_samples=cfg.num_target_samples,
+            num_traj_samples=cfg.num_traj_samples,
+            dt=cfg.dt,
+            R=cfg.R,
+            std=cfg.std * kernel_std_scale,
+            weight_temp=False,  # capture disables dist shaping (build_fingerprints:238-239)
+            weight_env=False,
+            vel_smoothing=0.5,
+        )
+        self.planner = KlergPlanner(
+            kcfg, self.dyn, policy, pdf_fn, self.explr_states,
+            explr_locs=list(range(len(self.explr_states))),
+        )
+        tray6 = tuple(TRAY_LIM[s] for s in "xyzrpw")
+        self.env = SyntheticEnv(tray_lim=tray6, dt=cfg.dt / 5.0,
+                                img_hw=cfg.image_dim[:2])
+        self.scene = scene
+        self.use_pose_mode = False
+
+    # ------------------------------------------------------------------
+    def init(self, start_tray_pose=None, seed: int = 0,
+             shrink_center=None, shrink_scale: float = 0.4) -> EvalState:
+        """``shrink_center`` (robot coords over explr states) re-slices the
+        sampling limits around a fingerprint center (update_lims path,
+        build_fingerprints:243-247)."""
+        cfg = self.cfg
+        pos_states = "".join(s for s in self.explr_states if s == s.lower())
+        barrier, _ = setup_barrier(
+            pos_states, self.robot_lim, self.robot_ctrl_lim[: len(pos_states)],
+            list(range(len(pos_states))),
+        )
+        if start_tray_pose is None:
+            start_tray_pose = jnp.asarray(
+                [(lo + hi) / 2 for lo, hi in self.env.tray_lim]
+            )
+        start_tray_pose = jnp.asarray(start_tray_pose, jnp.float32)
+        x0r = ws_conversion(
+            start_tray_pose[self.pose_sel], self.tray_lim, self.robot_lim
+        )
+        pstate = self.planner.init_state(
+            jnp.concatenate([x0r, jnp.zeros_like(x0r)]),
+            self.robot_lim, barrier,
+            buffer_capacity=cfg.traj_buffer_capacity,
+            explr_lim_scale=cfg.explr_robot_lim_scale,
+            seed=seed,
+        )
+        if shrink_center is not None:
+            center = jnp.asarray(shrink_center, jnp.float32)
+            n_pos = len(pos_states)
+            new_lims = center[:n_pos, None] + jnp.asarray([-1.0, 1.0]) * shrink_scale
+            pstate = self.planner.update_lims(
+                pstate, jnp.arange(n_pos), new_lims, self.robot_ctrl_lim[:n_pos]
+            )
+        env = self.env.init(start_tray_pose, scene=self.scene)
+        return EvalState(pstate=pstate, env=env,
+                         key=jax.random.PRNGKey(seed + 7),
+                         step=jnp.zeros((), jnp.int32))
+
+    def use_pose(self, ev: EvalState, tray_pose, n_steps: int = 30) -> EvalState:
+        """Drive straight to a pose with the pose controller (use_pose /
+        check_goal_pos behavior, sensor_test_module.py:128-141)."""
+        env = ev.env
+        for _ in range(n_steps):
+            env = self.env.step_pose(env, tray_pose)
+        return ev._replace(env=env)
+
+    def _measured(self, env: EnvState):
+        pose_e = env.pose[self.pose_sel]
+        vel_e = env.vel[self.pose_sel]
+        if self.b_pos >= 0:
+            pose_e = jnp.insert(pose_e, self.b_pos, env.brightness)
+            vel_e = jnp.insert(vel_e, self.b_pos, 0.0)
+        full = jnp.concatenate([pose_e, vel_e])
+        return ws_conversion(full, self.tray_full_lim, self.robot_full_lim)
+
+    def tick(self, ev: EvalState, pdf_ctx):
+        """One exploration step; returns (ev', obs dict with robot_state,
+        image, force, ergodic cost)."""
+        full_state = self._measured(ev.env)
+        pstate = self.planner.save_update(ev.pstate, full_state, save=True)
+        pstate, info = self.planner.plan(pstate, pdf_ctx)
+        ctrl = pstate.u[0]
+        dyn_pred = self.dyn.step(pstate.dyn, ctrl)
+        m = self.dyn.num_actions
+        vel_tray = ws_conversion(
+            dyn_pred.x[m:], self.robot_ctrl_lim, self.tray_ctrl_lim
+        )
+        vel_tray = jnp.clip(vel_tray, self.tray_ctrl_lim[:, 0], self.tray_ctrl_lim[:, 1])
+        if self.b_pos >= 0:
+            vel6 = jnp.zeros(6).at[self.pose_sel].set(
+                jnp.delete(vel_tray, self.b_pos, assume_unique_indices=True))
+            tray_pos = ws_conversion(dyn_pred.x[:m], self.robot_lim, self.tray_lim)
+            b_cmd = tray_pos[self.b_pos]
+        else:
+            vel6 = jnp.zeros(6).at[self.pose_sel].set(vel_tray)
+            b_cmd = None
+        env = self.env.step_vel(ev.env, vel6, b_cmd)
+        pose, vel, force, img = self.env.observe(env)
+        robot_state = self._measured(env)[: len(self.explr_states)]
+        ev = EvalState(pstate=pstate, env=env, key=ev.key, step=ev.step + 1)
+        return ev, dict(robot_state=robot_state, image=img, force=force,
+                        cost=info["cost"])

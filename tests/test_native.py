@@ -1,0 +1,130 @@
+"""Software-in-the-loop tests of the native realtime controller library
+(the reference validates these controllers only on hardware; here the 1 kHz
+loop runs against a trivial integrator plant)."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("ctypes")
+
+from ealv_tpu.hw import NativeControllers, ControlMode
+
+
+@pytest.fixture()
+def mux():
+    return NativeControllers(dt=1e-3, cmd_dt=0.1, max_force=30.0)
+
+
+class TestVelFilter:
+    def test_ramp_respects_slew_limit(self, mux):
+        mux.command_twist([0.1, 0.0, 0.0, 0.0, 0.0, 0.0])
+        prev = np.zeros(6)
+        for _ in range(50):
+            out = mux.tick_velocity()
+            step = np.abs(out - prev)
+            assert step[:3].max() <= 0.8e-3 + 1e-12  # max_lin per tick
+            prev = out
+        # after 50 ticks the ramp is at 50 * 0.8e-3 = 0.04
+        np.testing.assert_allclose(prev[0], 0.04, rtol=1e-6)
+
+    def test_converges_to_command(self, mux):
+        mux.command_twist([0.05, -0.02, 0.0, 0.0, 0.0, 0.1])
+        for _ in range(300):
+            mux.command_twist([0.05, -0.02, 0.0, 0.0, 0.0, 0.1])
+            out = mux.tick_velocity()
+        np.testing.assert_allclose(out[:2], [0.05, -0.02], atol=1e-6)
+        np.testing.assert_allclose(out[5], 0.1, atol=1e-6)
+
+    def test_stale_command_decays(self, mux):
+        mux.command_twist([0.05, 0, 0, 0, 0, 0])
+        for _ in range(100):
+            out = mux.tick_velocity()
+        peak = out[0]
+        # no further commands: after 2*cmd_dt the raw command decays
+        for _ in range(5000):
+            out = mux.tick_velocity()
+        assert out[0] < peak * 0.2
+
+    def test_force_safety_opposes_motion(self, mux):
+        mux.command_twist([0.05, 0, 0, 0, 0, 0])
+        for _ in range(200):
+            mux.command_twist([0.05, 0, 0, 0, 0, 0])
+            out = mux.tick_velocity()
+        assert out[0] > 0.04
+        # pressing +x produces an external wrench in -x; beyond
+        # 0.75*max_force with opposite-sign command -> back off to zero
+        mux.set_wrench([-25.0, 0, 0, 0, 0, 0])
+        for _ in range(200):
+            mux.command_twist([0.05, 0, 0, 0, 0, 0])
+            out = mux.tick_velocity()
+        assert abs(out[0]) < 1e-3  # driven back toward zero
+        # same-sign wrench (moving AWAY from the contact) is not blocked
+        mux.set_wrench([25.0, 0, 0, 0, 0, 0])
+        for _ in range(200):
+            mux.command_twist([0.05, 0, 0, 0, 0, 0])
+            out = mux.tick_velocity()
+        assert out[0] > 0.04
+
+    def test_rt_failure_resets_ramp(self, mux):
+        mux.command_twist([0.05, 0, 0, 0, 0, 0])
+        for _ in range(100):
+            out = mux.tick_velocity()
+        ok = mux.command_twist([0.05, 0, 0, 0, 0, 0], rt_ok=False)
+        assert not ok
+        out = mux.tick_velocity()
+        assert out[0] <= 0.8e-3 + 1e-12  # ramping from scratch
+
+
+class TestPoseFilter:
+    def test_double_lowpass_converges(self, mux):
+        mux.switch_mode(ControlMode.POSE)
+        current = np.eye(4)
+        target = np.eye(4)
+        target[0, 3] = 0.3  # row-major position; column-major layout: idx 12
+        for _ in range(8000):
+            mux.command_pose(target.T)  # column-major flatten
+            cmd = mux.tick_pose(current.T.reshape(16))
+            current = cmd.reshape(4, 4).T
+        assert abs(current[0, 3] - 0.3) < 0.01
+
+    def test_smooth_steps(self, mux):
+        mux.switch_mode(ControlMode.POSE)
+        current = np.eye(4)
+        target = np.eye(4)
+        target[0, 3] = 0.5
+        last = 0.0
+        for _ in range(500):
+            mux.command_pose(target.T)
+            cmd = mux.tick_pose(current.T.reshape(16)).reshape(4, 4).T
+            step = abs(cmd[0, 3] - last)
+            last = cmd[0, 3]
+            current = cmd
+        assert step < 1e-3  # double low-pass keeps per-tick motion tiny
+
+
+class TestJointFilter:
+    def test_pid_moves_toward_target_with_slew(self, mux):
+        mux.switch_mode(ControlMode.JOINT)
+        current = np.zeros(7)
+        target = np.array([0.5, -0.5, 0.2, 0, 0, 0, 0.1])
+        for _ in range(3000):
+            mux.command_joints(target)
+            nxt = mux.tick_joints(current)
+            assert np.abs(nxt - current).max() <= 2.0e-3 + 1e-12
+            current = nxt
+        np.testing.assert_allclose(current, target, atol=0.02)
+
+
+class TestMux:
+    def test_mode_switch_resets_velocity(self, mux):
+        mux.command_twist([0.05, 0, 0, 0, 0, 0])
+        for _ in range(100):
+            mux.tick_velocity()
+        mux.switch_mode(ControlMode.POSE)
+        mux.switch_mode(ControlMode.VELOCITY)
+        assert mux.mode == ControlMode.VELOCITY
+        out = mux.tick_velocity()
+        # raw command was cleared; ramp decays back toward zero
+        for _ in range(3000):
+            out = mux.tick_velocity()
+        assert abs(out[0]) < 0.01

@@ -108,6 +108,19 @@ class Experiment:
             kcfg, self.dyn, policy, pdf_fn, states,
             explr_locs=list(range(len(states))),
         )
+        # baseline exploration methods (DummyRobot selection,
+        # sensor_main_module.py:90-93): anything not *klerg
+        self.use_baseline = "klerg" not in cfg.explr_method
+        if self.use_baseline:
+            from ..control.baselines import BaselineController
+
+            self.baseline = BaselineController(
+                method=cfg.explr_method,
+                dt=cfg.dt,
+                robot_lim=tuple(map(tuple, cfg.robot_lim)),
+                robot_ctrl_lim=tuple(map(tuple, cfg.robot_ctrl_lim)),
+                buffer_capacity=cfg.traj_buffer_capacity,
+            )
         self.trainer = TrainerStatics(
             model=self.model,
             batch_size=cfg.batch_size,
@@ -154,13 +167,16 @@ class Experiment:
         # start at tray center
         tray_center = jnp.asarray([(lo + hi) / 2 for lo, hi in self.env.tray_lim])
         x0r = ws_conversion(tray_center[self.pose_sel], self.tray_lim, self.robot_lim)
-        pstate = self.planner.init_state(
-            jnp.concatenate([x0r, jnp.zeros_like(x0r)]),
-            self.robot_lim, barrier,
-            buffer_capacity=cfg.traj_buffer_capacity,
-            explr_lim_scale=cfg.explr_robot_lim_scale,
-            seed=seed + 1,
-        )
+        if self.use_baseline:
+            pstate = self.baseline.init_state(x0r, seed=seed + 1)
+        else:
+            pstate = self.planner.init_state(
+                jnp.concatenate([x0r, jnp.zeros_like(x0r)]),
+                self.robot_lim, barrier,
+                buffer_capacity=cfg.traj_buffer_capacity,
+                explr_lim_scale=cfg.explr_robot_lim_scale,
+                seed=seed + 1,
+            )
         env = self.env.init(tray_center, scene=self.scene)
         buf = ReplayBuffer.create(
             cfg.buffer_capacity, cfg.s_dim, cfg.image_dim, learn_force=True
@@ -190,16 +206,21 @@ class Experiment:
         cfg = self.cfg
         key, k_train, k_hp = jax.random.split(es.key, 3)
 
-        # 1. sync planner to measured state
+        # 1-2. sync to measured state + plan (or baseline step)
         full_state = self._measured_robot_state(es.env)
-        pstate = self.planner.save_update(es.pstate, full_state, save=True)
-
-        # 2. plan
-        pstate, info = self.planner.plan(pstate, (es.params, es.mstate))
-        ctrl = pstate.u[0]
-        dyn_pred = self.dyn.step(pstate.dyn, ctrl)
         m = self.dyn.num_actions
-        vel_pred_r = dyn_pred.x[m:]
+        if self.use_baseline:
+            pstate = self.baseline.save_update(es.pstate, full_state, save=True)
+            pstate, full_pred, vel_pred_r = self.baseline.step(pstate)
+            dyn_pred_x = full_pred
+            info = {"cost": jnp.zeros(())}
+        else:
+            pstate = self.planner.save_update(es.pstate, full_state, save=True)
+            pstate, info = self.planner.plan(pstate, (es.params, es.mstate))
+            ctrl = pstate.u[0]
+            dyn_pred = self.dyn.step(pstate.dyn, ctrl)
+            dyn_pred_x = dyn_pred.x
+            vel_pred_r = dyn_pred.x[m:]
 
         # 3. command the environment (use_vel path :142-147).
         # vel_pred_r is (m,) over the position states (runtime exploration
@@ -213,7 +234,7 @@ class Experiment:
         )
         b_cmd = None
         if self.b_pos >= 0:
-            tray_pos = ws_conversion(dyn_pred.x[:m], self.robot_lim, self.tray_lim)
+            tray_pos = ws_conversion(dyn_pred_x[:m], self.robot_lim, self.tray_lim)
             b_cmd = tray_pos[self.b_pos]
         env = es.env
         for _ in range(cfg.data_to_ctrl_rate):

@@ -147,3 +147,34 @@ class ExperimentConfig:
 
         (h, w), _ = conv_output_dims(self.image_dim[:2], self.cnn_kernels, self.cnn_strides)
         return expand_hidden(self.hidden_dim, h * w * self.cnn_channels[-1])
+
+    # ---- yaml round-trip (the reference's config.yaml dump + rehydrate,
+    # load_config.py:193-200 / sensor_test_module.py:39-49) ----
+    def to_yaml(self, path: str) -> None:
+        import dataclasses
+        import yaml
+
+        d = {
+            k: (list(v) if isinstance(v, tuple) else v)
+            for k, v in dataclasses.asdict(self).items()
+        }
+        with open(path, "w") as f:
+            yaml.safe_dump(d, f, default_flow_style=False)
+
+    @classmethod
+    def from_yaml(cls, path: str, **overrides) -> "ExperimentConfig":
+        import dataclasses
+        import yaml
+
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+        d.update(overrides)
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in d.items():
+            if k not in fields:
+                continue  # tolerate extra keys, like rosparam merging
+            if isinstance(v, list):
+                v = tuple(tuple(x) if isinstance(x, list) else x for x in v)
+            kwargs[k] = v
+        return cls(**kwargs)

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Run one online-learning experiment (the `roslaunch run.launch` / `scripts/
+sensor_main` entry point, TPU edition).
+
+Examples:
+  python scripts/run_experiment.py --method entklerg --steps 300 --seed 0
+  python scripts/run_experiment.py --method randomWalk --steps 200
+  python scripts/run_experiment.py --config my_config.yaml --out runs/
+
+Writes to the run dir ({out}/{sensor}/{method}_{seed:04d}/, parity with
+load_config.py:177-182): config.yaml, log.txt, metrics.npz, checkpoints/,
+and dashboard figures.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--method", default="entklerg",
+                    choices=["entklerg", "unifklerg", "uniform", "randomWalk"])
+    ap.add_argument("--states", default="xyw")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="runs")
+    ap.add_argument("--config", default=None, help="yaml config to load")
+    ap.add_argument("--chunk", type=int, default=25, help="steps per fused scan")
+    ap.add_argument("--small", action="store_true",
+                    help="small model/images for quick runs")
+    ap.add_argument("--train-calls", type=int, default=1)
+    ap.add_argument("--save-rate", type=int, default=200)
+    args = ap.parse_args()
+
+    from ealv_tpu.utils.config import ExperimentConfig
+    from ealv_tpu.runtime import Experiment
+    from ealv_tpu.runtime.metrics import MetricsLog, run_dir
+    from ealv_tpu.runtime.checkpoint import save_checkpoint
+    from ealv_tpu.viz import TrainingPlotter, ExplorationPlotter
+
+    overrides = dict(explr_method=args.method, states=args.states,
+                     num_steps=args.steps, seed=args.seed)
+    if args.small:
+        overrides.update(
+            image_dim=(48, 48, 3), cnn_kernels=(3, 3), cnn_strides=(2, 2),
+            cnn_channels=(10, 10), hidden_dim=(256, 128), z_dim=12,
+            num_target_samples=512, num_traj_samples=512,
+            traj_buffer_capacity=1024, buffer_capacity=1024, batch_size=32,
+            num_learning_opt=10,
+        )
+    if args.config:
+        cfg = ExperimentConfig.from_yaml(args.config, **overrides)
+    else:
+        cfg = ExperimentConfig(**overrides)
+
+    dirp = run_dir(args.out, "synth", args.method, args.seed)
+    ml = MetricsLog(dirp)
+    cfg.to_yaml(os.path.join(dirp, "config.yaml"))
+
+    exp = Experiment(cfg, train_calls_per_tick=args.train_calls)
+    es = exp.init(seed=args.seed)
+    run = jax.jit(lambda s: exp.run_chunk(s, args.chunk))
+
+    import time
+    t0 = time.time()
+    n_chunks = max(1, args.steps // args.chunk)
+    for c in range(n_chunks):
+        es, infos = run(es)
+        ml.push_tick_info({k: infos[k] for k in
+                           ("loss", "ergodic_cost", "beta", "gamma")})
+        ml.progress(int(es.explr_step), int(es.learning_ind),
+                    float(infos["loss"][-1]))
+        if (c + 1) * args.chunk % args.save_rate < args.chunk:
+            save_checkpoint(os.path.join(dirp, "checkpoints"), es,
+                            step=int(es.explr_step))
+    wall = time.time() - t0
+    ml.write_to_log(f"done: {int(es.explr_step)} steps in {wall:.0f}s "
+                    f"({int(es.explr_step)/wall:.2f} Hz)")
+    ml.save()
+    save_checkpoint(os.path.join(dirp, "checkpoints"), es,
+                    step=int(es.explr_step))
+
+    TrainingPlotter(dirp).render({k: np.concatenate([np.atleast_1d(x) for x in v])
+                                  for k, v in ml.series.items()})
+    pose, vel, force, img = exp.env.observe(es.env)
+    ExplorationPlotter(dirp, robot_lim=cfg.robot_lim[:2]).render(
+        image=np.asarray(img), step=int(es.explr_step), name="final_view.png")
+    print(f"run dir: {dirp}")
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,16 @@ class BarrierFunction:
         b_lim = b_lim.at[:, 0].add(b_buff).at[:, 1].add(-b_buff)
         return self.replace(b_lim=b_lim)
 
+    def truncate(self, n: int) -> "BarrierFunction":
+        """Keep only the first n limit rows (parity: update_ergodic_dim,
+        barrier.py:64-68 — used by clustering to penalize position dims
+        only, clustering.py:110)."""
+        return self.replace(
+            b_lim=self.b_lim[:n],
+            barr_weight=self.barr_weight[:n],
+            power=self.power[:n],
+        )
+
     def _terms(self, x):
         n = self.b_lim.shape[0]
         xc = x[:n]
@@ -88,6 +98,9 @@ class NoBarrier:
         return jnp.zeros(X.shape[0], jnp.float32)
 
     def update_lims(self, b_lim, b_buff: float = 0.1):
+        return self
+
+    def truncate(self, n: int) -> "NoBarrier":
         return self
 
 

@@ -97,11 +97,16 @@ class KlergPlanner:
     """
 
     def __init__(self, cfg: KlergConfig, dyn, policy, pdf_fn: Callable,
-                 states: str, explr_locs):
+                 states: str, explr_locs, prior_dist=None):
         self.cfg = cfg
         self.dyn = dyn
         self.policy = policy
         self.pdf_fn = pdf_fn
+        # scene prior used during the first prior_steps (use_prior path,
+        # klerg.py:108-110,459-461); defaults to the hardcoded two-object
+        # prior of the reference
+        from .target_dists import prior_dist as make_prior
+        self.prior_dist = prior_dist if prior_dist is not None else make_prior(states)
         self.states = states
         self.explr_locs = jnp.asarray(explr_locs, jnp.int32)
         # per-dim kernel width: velocities (uppercase) get 5x (klerg.py:187)
@@ -241,8 +246,11 @@ class KlergPlanner:
         )
         return du, djdlam
 
-    def _target_dist(self, pdf_ctx, pstate, samples, temp, plot: bool = False):
-        """Parity: get_target_dist :452-486 with weight_temp/weight_env."""
+    def _target_dist(self, pdf_ctx, pstate, samples, temp, plot: bool = False,
+                     use_prior=False):
+        """Parity: get_target_dist :452-486 with uniform/prior/model modes +
+        weight_temp/weight_env shaping. ``use_prior`` may be traced (the
+        prior_steps schedule selects it per step)."""
         cfg = self.cfg
         rl = self._robot_lim
         outside = jnp.any((samples < rl[:, 0]) | (samples > rl[:, 1]), axis=1)
@@ -250,6 +258,8 @@ class KlergPlanner:
             p = renormalize(jnp.ones(samples.shape[0], jnp.float32))
         else:
             p = self.pdf_fn(pdf_ctx, samples)
+            p_prior = renormalize(self.prior_dist.pdf(samples[:, : self.prior_dist.means.shape[1]]))
+            p = jnp.where(use_prior, p_prior, p)
         if cfg.weight_env or cfg.weight_temp or plot:
             traj_all, mask = pstate.memory.get_all()
             spread = traj_spread(traj_all, samples, self.explr_locs, self.std,
@@ -342,7 +352,8 @@ class KlergPlanner:
         return ti_out, tf_out, success
 
     # ------------------------------------------------------------------
-    def plan(self, pstate: PlannerState, pdf_ctx, temp: float = 1.0):
+    def plan(self, pstate: PlannerState, pdf_ctx, temp: float = 1.0,
+             use_prior=False):
         """One full planner call (parity: kldiv_planner :489-588).
         Returns (pstate', info dict)."""
         cfg = self.cfg
@@ -372,7 +383,7 @@ class KlergPlanner:
         traj_hist, hist_mask = pstate.memory.sample(k_hist, cfg.num_traj_samples)
 
         # --- target + base footprint
-        p = self._target_dist(pdf_ctx, pstate, samples, temp)
+        p = self._target_dist(pdf_ctx, pstate, samples, temp, use_prior=use_prior)
         q_base = traj_footprint(
             traj_hist, samples, self.explr_locs, self.std, traj_mask=hist_mask
         )

@@ -1,4 +1,4 @@
 from .distances import latent_distance
 from .belief import FingerprintBelief, marginalize_angles
-from .clustering import find_clusters, mean_shift, merge_overlapping
+from .clustering import find_clusters, mean_shift, merge_overlapping, optimize_samples
 from .identify import FingerprintSet, identify_step, relative_pose_beliefs

@@ -52,6 +52,62 @@ def score_samples(model: CVAE, params, seeds_x, seeds_y, samples,
     return jnp.mean(meas, axis=0) ** 3
 
 
+def optimize_samples(model: CVAE, params, seeds_x, seeds_y, samples,
+                     barrier=None, seeds_force=None, iters: int = 5,
+                     lr: float = 0.05, kernel_var: float = 1e-3,
+                     pdf_weight: float = 12.0):
+    """Kernel-repulsion sample optimization (parity: clustering.py:98-161,
+    the reference's PREFERRED online-clustering config): Adam on the sample
+    positions minimizing  mean kernel(x_i, x_j) - w * mean renorm(pdf(x)) +
+    mean barrier(x) — pushes samples toward high-uncertainty regions while
+    keeping them spread and inside the workspace."""
+    import optax
+    from ..ops import renormalize
+    from .identify import _encode_seed_z
+
+    z_seeds = _encode_seed_z(model, params, seeds_x, seeds_y, seeds_force)
+    d = samples.shape[1]
+    inv_var = 1.0 / kernel_var
+
+    def pdf_under_seed(z, sx, pts):
+        x = pts - sx[None, :] if model.dx else pts
+        _, y_logvar, _ = model.apply(
+            params, jnp.broadcast_to(z[None, :], (pts.shape[0], z.shape[0])), x,
+            method=CVAE.decode_fn,
+        )
+        return jnp.max(jnp.exp(y_logvar), axis=1)
+
+    def loss_fn(pts):
+        diff = pts[:, None, :] - pts[None, :, :]
+        k = jnp.exp(-0.5 * jnp.sum(diff**2, -1) * inv_var)
+        # unnormalized Gaussian kernel log-prob normalizer is constant; the
+        # reference's MVN log_prob.exp() differs only by that constant scale
+        inner = jnp.mean(k)
+        total = inner
+        pdf_sum = 0.0
+        for z, sx in zip(z_seeds, seeds_x):
+            pdf_sum = pdf_sum + jnp.mean(renormalize(pdf_under_seed(z, sx, pts)))
+        total = total - pdf_weight * pdf_sum
+        if barrier is not None:
+            total = total + jnp.mean(barrier.batch(pts))
+        return total
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(pts):
+        opt_state = opt.init(pts)
+        def step(carry, _):
+            pts, opt_state = carry
+            g = jax.grad(loss_fn)(pts)
+            updates, opt_state = opt.update(g, opt_state)
+            return (optax.apply_updates(pts, updates), opt_state), None
+        (pts, _), _ = jax.lax.scan(step, (pts, opt_state), None, length=iters)
+        return pts
+
+    return run(samples)
+
+
 def reweight_resample(key, samples, weights, num_draws: int):
     """Weighted-to-unweighted resampling (process_clusters :337-344)."""
     idx = jax.random.categorical(
@@ -145,14 +201,26 @@ def find_clusters(
     scale: float = 1.0,
     get_blank: bool = False,
     seeds_force=None,
+    use_optimize_samples: bool = False,
+    barrier=None,
 ) -> ClusterResult:
-    """End-to-end object discovery (parity: clustering.find_clusters)."""
+    """End-to-end object discovery (parity: clustering.find_clusters).
+    ``use_optimize_samples`` enables the kernel-repulsion sample
+    optimization the reference's online clusterer runs with (its
+    cluster_config sets optimize_samples: True), which keeps candidates
+    inside the barrier instead of drifting to unexplored corners."""
     robot_lim = jnp.asarray(robot_lim, jnp.float32)
     k1, k2, k3 = jax.random.split(key, 3)
     samples = jax.random.uniform(
         k1, (num_pts, robot_lim.shape[0]),
         minval=robot_lim[:, 0] * scale, maxval=robot_lim[:, 1] * scale,
     )
+    if use_optimize_samples:
+        if barrier is not None and hasattr(barrier, "truncate"):
+            barrier = barrier.truncate(samples.shape[1])
+        samples = optimize_samples(model, params, seeds_x, seeds_y, samples,
+                                   barrier=barrier, seeds_force=seeds_force)
+        samples = jnp.clip(samples, robot_lim[:, 0], robot_lim[:, 1])
     weights = score_samples(model, params, seeds_x, seeds_y, samples, seeds_force)
     resampled = reweight_resample(k2, samples, weights, num_pts // 2)
 

@@ -102,7 +102,10 @@ class Experiment:
 
         def pdf_fn(ctx, samples):
             params, mstate = ctx
-            return self.model.apply(params, mstate, samples, method=CVAE.pdf)
+            return self.model.apply(
+                params, mstate, samples,
+                use_z_ensemble=cfg.use_z_ensemble, method=CVAE.pdf,
+            )
 
         self.planner = KlergPlanner(
             kcfg, self.dyn, policy, pdf_fn, states,
@@ -164,9 +167,13 @@ class Experiment:
         barrier, _ = setup_barrier(
             pos_states, self.robot_lim, self.robot_ctrl_lim[: len(pos_states)], non_vel
         )
-        # start at tray center
+        # start at tray center (brightness dim, if explored, starts mid-range)
         tray_center = jnp.asarray([(lo + hi) / 2 for lo, hi in self.env.tray_lim])
-        x0r = ws_conversion(tray_center[self.pose_sel], self.tray_lim, self.robot_lim)
+        start = tray_center[self.pose_sel]
+        if self.b_pos >= 0:
+            from ..utils.config import TRAY_LIM as _TL
+            start = jnp.insert(start, self.b_pos, sum(_TL["b"]) / 2)
+        x0r = ws_conversion(start, self.tray_lim, self.robot_lim)
         if self.use_baseline:
             pstate = self.baseline.init_state(x0r, seed=seed + 1)
         else:
@@ -216,7 +223,11 @@ class Experiment:
             info = {"cost": jnp.zeros(())}
         else:
             pstate = self.planner.save_update(es.pstate, full_state, save=True)
-            pstate, info = self.planner.plan(pstate, (es.params, es.mstate))
+            # scene prior for the first prior_steps (sensor_main_module:118-119)
+            use_prior = es.explr_step < cfg.prior_steps
+            pstate, info = self.planner.plan(
+                pstate, (es.params, es.mstate), use_prior=use_prior
+            )
             ctrl = pstate.u[0]
             dyn_pred = self.dyn.step(pstate.dyn, ctrl)
             dyn_pred_x = dyn_pred.x
@@ -240,8 +251,11 @@ class Experiment:
         for _ in range(cfg.data_to_ctrl_rate):
             env = self.env.step_vel(env, vel6, b_cmd)
 
-        # 4. sense + push (:186-215)
+        # 4. sense + push (:186-215); intensity mode collapses RGB to one
+        # channel (process_image_msg parity, sensor_utils.py:284-297)
         pose, vel, force, img = self.env.observe(env)
+        if cfg.image_dim[2] == 1:
+            img = jnp.mean(img, axis=-1, keepdims=True)
         robot_state = self._measured_robot_state(env)[: cfg.s_dim]
         buf = es.buf.push(robot_state, img, force)
 

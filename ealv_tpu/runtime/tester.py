@@ -165,6 +165,8 @@ class EvalExperiment:
             b_cmd = None
         env = self.env.step_vel(ev.env, vel6, b_cmd)
         pose, vel, force, img = self.env.observe(env)
+        if self.cfg.image_dim[2] == 1:
+            img = jnp.mean(img, axis=-1, keepdims=True)
         robot_state = self._measured(env)[: len(self.explr_states)]
         ev = EvalState(pstate=pstate, env=env, key=ev.key, step=ev.step + 1)
         return ev, dict(robot_state=robot_state, image=img, force=force,

@@ -87,6 +87,9 @@ class ExperimentConfig:
     cnn_channels: Tuple[int, ...] = (10, 10, 20)
     learn_force: bool = False
     dx: bool = False
+    prior_steps: int = 0  # use the scene prior for the first N steps (test_config.yaml:81)
+    use_z_ensemble: bool = False  # z-ensemble uncertainty (build_z_buffer)
+    intensity: bool = False  # grayscale images (load_config.py intensity flag)
     # trainer (test_config.yaml:83-104)
     model_lr: float = 1e-3
     batch_size: int = 64

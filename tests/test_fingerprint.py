@@ -150,6 +150,28 @@ class TestClustering:
         out = reweight_resample(jax.random.PRNGKey(0), samples, w, 200)
         assert (np.asarray(out)[:, 0] > 0).mean() > 0.9
 
+    def test_optimize_samples_stays_in_barrier(self):
+        """Kernel-optimized samples must remain inside the workspace (the
+        whole point of the barrier term, clustering.py:110-119)."""
+        from ealv_tpu.control import setup_barrier
+        from ealv_tpu.fingerprint import optimize_samples
+
+        model = CVAE(img_dim=(16, 16, 3), z_dim=4, s_dim=2, hidden_dim=(32, 16),
+                     cnn_kernels=(3,), cnn_strides=(2,), cnn_channels=(4,))
+        key = jax.random.PRNGKey(0)
+        params = model.init({"params": key}, jnp.zeros((1, 2)),
+                            jnp.zeros((1, 16, 16, 3)), train=False)
+        seeds_x = jax.random.uniform(key, (2, 2), minval=-1, maxval=1)
+        seeds_y = jax.random.uniform(key, (2, 16, 16, 3))
+        barrier, _ = setup_barrier("xy", jnp.array([[-1.0, 1.0]] * 2),
+                                   jnp.array([[-1.25, 1.25]] * 2), [0, 1])
+        samples = jax.random.uniform(key, (100, 2), minval=-1, maxval=1)
+        out = optimize_samples(model, params, seeds_x, seeds_y, samples,
+                               barrier=barrier.truncate(2), iters=5)
+        assert out.shape == samples.shape
+        assert float(jnp.abs(out).max()) < 1.5  # no blow-up past the barrier
+        assert not np.allclose(np.asarray(out), np.asarray(samples))  # moved
+
     def test_find_clusters_end_to_end(self):
         """Synthetic model-free check is impossible (scoring needs a model),
         so use a tiny CVAE: clusters should land where decoded variance is

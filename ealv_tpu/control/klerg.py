@@ -459,6 +459,29 @@ class KlergPlanner:
                     planned_traj=last_plan[:, self.explr_locs])
         return pstate, info
 
+    def plot_dists(self, pstate: PlannerState, pdf_ctx, samples, plot_idx,
+                   temp: float = 1.0):
+        """Smoothed plot distributions (parity: update_plots single/smooth
+        path, klerg.py:625-655): pin every non-plot dim to the current state,
+        substitute the samples' plot dims, and evaluate the shaped target +
+        trajectory footprint there. Returns (pplot_samples, pplot, qplot) —
+        the dashboard payload of PlottingBufferTorch."""
+        plot_idx = jnp.asarray(plot_idx)
+        cur = pstate.dyn.x[self.explr_locs]
+        pplot_samples = jnp.broadcast_to(cur[None, :], samples.shape)
+        pplot_samples = pplot_samples.at[:, plot_idx].set(samples[:, plot_idx])
+        pplot = self._target_dist(pdf_ctx, pstate, pplot_samples, temp, plot=True)
+        traj_all, mask = pstate.memory.get_all()
+        traj = jnp.concatenate([traj_all, pstate.last_plan], 0)
+        mask_full = jnp.concatenate(
+            [mask, jnp.ones(pstate.last_plan.shape[0], jnp.float32)], 0
+        )
+        qplot = renormalize(
+            traj_footprint(traj, pplot_samples, self.explr_locs, self.std,
+                           traj_mask=mask_full)
+        )
+        return pplot_samples, pplot, qplot
+
     def step(self, pstate: PlannerState, pdf_ctx, temp: float = 1.0,
              save_update: bool = False):
         """Plan + apply first control (parity: Robot.step :279-291).

@@ -181,9 +181,10 @@ class FingerprintBelief:
 
 
 def marginalize_angles(p_grid, num_samples, plot_idx, method: str = "mean"):
-    """Collapse angle dims of a belief grid (process_grid_dist :630-701,
-    mean/max/range variants). p_grid: (G,), returns the marginalized grid
-    over ``plot_idx`` dims."""
+    """Collapse angle dims of a belief grid (process_grid_dist :630-701):
+    mean / max / range, plus the sorted weighted-average variants
+    'WeightedAvg1' (weights favor the max end) and 'WeightedAvg2' (favor the
+    min end) of :672-681. p_grid: (G,) -> marginalized grid over plot_idx."""
     p = p_grid.reshape(num_samples)
     d = len(num_samples)
     extra = tuple(i for i in range(d) if i not in tuple(plot_idx))
@@ -195,4 +196,17 @@ def marginalize_angles(p_grid, num_samples, plot_idx, method: str = "mean"):
         return p.max(axis=extra)
     if method == "range":
         return p.max(axis=extra) - p.min(axis=extra)
+    if method.startswith("WeightedAvg"):
+        out = p
+        # collapse one extra axis at a time: sort along it, weighted-average
+        # with geometric weights 0.95^k (ascending or descending)
+        for axis in sorted(extra, reverse=True):
+            srt = jnp.sort(out, axis=axis)
+            n = out.shape[axis]
+            k = jnp.arange(n, dtype=jnp.float32)
+            w = 0.95 ** (n - k) if "1" in method else 0.95**k
+            shape = [1] * out.ndim
+            shape[axis] = n
+            out = jnp.sum(srt * w.reshape(shape), axis=axis) / jnp.sum(w)
+        return out
     raise ValueError(f"invalid angle method {method!r}")

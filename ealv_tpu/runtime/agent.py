@@ -82,6 +82,7 @@ class Experiment:
             y_logvar_dim=cfg.y_logvar_dim,
             learn_force=cfg.learn_force,
             dx=cfg.dx,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
         )
 
         # planner over position states (double integrator appends vels)

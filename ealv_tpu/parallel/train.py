@@ -17,9 +17,6 @@ collectives ride ICI.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 

@@ -19,7 +19,6 @@ the trainer just updated, by construction (no checkpoint-file hot-swap).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple, Optional
 
 import jax

@@ -1,0 +1,199 @@
+"""Numerical parity against the actual torch reference implementation.
+
+These tests import the reference package from /root/reference (read-only
+mount) and compare outputs on random inputs. They skip cleanly when the
+reference isn't mounted, so the suite stays portable; when present they are
+the strongest behavioral-parity evidence (same math, different framework).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/franka_test/scripts"
+torch = pytest.importorskip("torch")
+import os
+
+if not os.path.isdir(REF):
+    pytest.skip("reference not mounted", allow_module_level=True)
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+np.product = np.prod  # reference uses the removed numpy alias
+
+# stub the reference's CPU-rig-only deps so its modules import here
+import types
+
+for _missing in ("numa", "faster_fifo", "rospy", "pyqtgraph"):
+    sys.modules.setdefault(_missing, types.ModuleType(_missing))
+
+import jax.numpy as jnp
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+class TestKernelParity:
+    def test_psi_and_footprint(self, rng):
+        from control_torch.klerg_utils import traj_footprint_vec, traj_spread_vec
+        from ealv_tpu.ops import traj_footprint, traj_spread
+
+        traj = rng.uniform(-1, 1, (40, 6)).astype(np.float32)
+        samples = rng.uniform(-1, 1, (25, 3)).astype(np.float32)
+        std = np.array([0.05, 0.05, 0.25], np.float32)
+        explr = np.array([0, 1, 2])
+        ref = traj_footprint_vec(torch.tensor(traj), torch.tensor(samples),
+                                 torch.tensor(explr), torch.tensor(std),
+                                 torch.tensor(1.0)).numpy()
+        got = np.asarray(traj_footprint(jnp.array(traj), jnp.array(samples),
+                                        jnp.array(explr), jnp.array(std)))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-6)
+
+        ref_s = traj_spread_vec(torch.tensor(traj), torch.tensor(samples),
+                                torch.tensor(explr), torch.tensor(std),
+                                torch.tensor(1.0)).numpy()
+        got_s = np.asarray(traj_spread(jnp.array(traj), jnp.array(samples),
+                                       jnp.array(explr), jnp.array(std)))
+        np.testing.assert_allclose(got_s, ref_s, rtol=2e-4, atol=1e-6)
+
+    def test_kldiv_grad(self, rng):
+        from control_torch.klerg_utils import kldiv_grad_vec
+        from ealv_tpu.ops import kldiv_grad
+
+        x = rng.uniform(-1, 1, 6).astype(np.float32)
+        samples = rng.uniform(-1, 1, (30, 3)).astype(np.float32)
+        std = np.full(3, 0.1, np.float32)
+        ratio = rng.uniform(0.5, 2, 30).astype(np.float32)
+        explr = np.array([0, 1, 2])
+        ref = kldiv_grad_vec(torch.tensor(x), torch.tensor(samples),
+                             torch.tensor(explr), torch.tensor(std),
+                             torch.tensor(ratio), torch.tensor(1.0)).numpy()
+        got = np.asarray(kldiv_grad(jnp.array(x), jnp.array(samples),
+                                    jnp.array(explr), jnp.array(std),
+                                    jnp.array(ratio)))
+        np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-5)
+
+    def test_renormalize(self, rng):
+        from control_torch.klerg_utils import renormalize as ref_renorm
+        from ealv_tpu.ops import renormalize
+
+        d = rng.uniform(0.01, 5, 50).astype(np.float32)
+        ref = ref_renorm(torch.tensor(d)).numpy()
+        got = np.asarray(renormalize(jnp.array(d)))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-7)
+
+
+class TestLossParity:
+    def test_gaussian_nll_and_kl(self, rng):
+        sys.modules.setdefault("matplotlib.pyplot", __import__("matplotlib.pyplot",
+                                                               fromlist=["x"]))
+        import math
+
+        # re-evaluate the reference formula directly (trainer get_loss
+        # imports plotting modules; replicate its 11 lines verbatim in torch
+        # is what trainer_module.py:44-54 does)
+        def ref_get_loss(y, y_pred, y_logvar, z_mu, z_logvar):
+            y_logvar = y_logvar.expand_as(y_pred)
+            var = (y_logvar.exp() ** 2)
+            log_prob = (-((y - y_pred) ** 2) / (2 * var) - y_logvar
+                        - math.log(math.sqrt(2 * math.pi)))
+            RC = -torch.mean(log_prob)
+            KL = -torch.mean(0.5 * (1 + z_logvar - z_mu**2 - z_logvar.exp()).sum(1))
+            return RC, KL
+
+        from ealv_tpu.models import gaussian_nll, kl_divergence
+
+        y = rng.standard_normal((4, 3, 8, 8)).astype(np.float32)
+        yp = rng.standard_normal((4, 3, 8, 8)).astype(np.float32)
+        lv = rng.standard_normal((4, 1)).astype(np.float32)
+        zmu = rng.standard_normal((4, 6)).astype(np.float32)
+        zlv = rng.standard_normal((4, 6)).astype(np.float32)
+        rc_ref, kl_ref = ref_get_loss(
+            torch.tensor(y), torch.tensor(yp),
+            torch.tensor(lv).view(4, 1, 1, 1), torch.tensor(zmu), torch.tensor(zlv),
+        )
+        # ours broadcasts (B,1) logvar over (B,H,W,C); feed matching layout
+        rc = gaussian_nll(jnp.array(np.moveaxis(y, 1, -1)),
+                          jnp.array(np.moveaxis(yp, 1, -1)), jnp.array(lv))
+        kl = kl_divergence(jnp.array(zmu), jnp.array(zlv))
+        np.testing.assert_allclose(float(rc), float(rc_ref), rtol=1e-5)
+        np.testing.assert_allclose(float(kl), float(kl_ref), rtol=1e-5)
+
+
+class TestDistanceParity:
+    @pytest.mark.parametrize("method", ["L2", "KL", "BC", "logprob"])
+    def test_latent_distances(self, rng, method):
+        from dist_modules.fingerprint_module import get_dist
+        from ealv_tpu.fingerprint import latent_distance
+
+        mu1 = rng.standard_normal((7, 8)).astype(np.float32)
+        lv1 = (rng.standard_normal((7, 8)) * 0.3).astype(np.float32)
+        mu2 = rng.standard_normal((7, 8)).astype(np.float32)
+        lv2 = (rng.standard_normal((7, 8)) * 0.3).astype(np.float32)
+        ref = get_dist(method, torch.tensor(mu1), torch.tensor(lv1),
+                       torch.tensor(mu2), torch.tensor(lv2))
+        got = np.asarray(latent_distance(method, jnp.array(mu1), jnp.array(lv1),
+                                         jnp.array(mu2), jnp.array(lv2)))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestUtilParity:
+    def test_ws_conversion(self, rng):
+        from franka.franka_utils import ws_conversion as ref_ws
+        from ealv_tpu.utils import ws_conversion
+
+        in_lim = np.array([[0.3, 0.6], [-0.2, 0.2], [2.4, 3.9]])
+        out_lim = np.array([[-1.0, 1.0]] * 3)
+        pts = rng.uniform(0, 1, (5, 3)) * (in_lim[:, 1] - in_lim[:, 0]) + in_lim[:, 0]
+        ref = ref_ws(pts, in_lim, out_lim)
+        got = np.asarray(ws_conversion(pts.astype(np.float32),
+                                       in_lim.astype(np.float32),
+                                       out_lim.astype(np.float32)))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def test_kernel_std_heuristic(self):
+        from scipy.special import gamma as ref_gamma
+        from ealv_tpu.utils.config import kernel_std
+
+        # reproduce load_config.py:130-138 verbatim
+        lims = np.array([[-1.0, 1.0]] * 3)
+        n = lims.shape[0]
+        ratio = 0.1 / 2000
+        vol = (lims[:, 1] - lims[:, 0]).prod()
+        ref = (ratio * vol * ref_gamma(n / 2 + 1) / np.pi ** (n / 2)) ** (1 / n)
+        np.testing.assert_allclose(kernel_std(lims, 2000), ref, rtol=1e-9)
+
+    def test_conv_shape_math(self):
+        from vae.vae_utils import get_input_dim
+        from ealv_tpu.models import conv_output_dims
+
+        cnn = {"kernel_size": [3, 3, 5], "stride": [2, 2, 3],
+               "channels": [10, 10, 20]}
+        ref_prod, ref_dim = get_input_dim([3, 180, 180], cnn)
+        (h, w), _ = conv_output_dims((180, 180), (3, 3, 5), (2, 2, 3))
+        assert (h, w) == tuple(ref_dim[1:])
+        assert h * w * 20 == ref_prod
+
+
+class TestBarrierParity:
+    def test_barrier_values_and_grads(self, rng):
+        from control_torch.barrier import BarrierFunction as RefBarrier
+        from ealv_tpu.control import BarrierFunction
+
+        lims = np.array([[-1.0, 1.0], [-1.0, 1.0], [-1.25, 1.25], [-1.25, 1.25]],
+                        np.float32)
+        ref_b = RefBarrier(b_lim=torch.tensor(lims.copy()),
+                           barr_weight=[5.0, 5.0, 5.0, 5.0],
+                           b_buff=0.1, power=[4.0] * 4)
+        our_b = BarrierFunction.create(lims, np.array([5.0] * 4),
+                                       np.array([4.0] * 4), b_buff=0.1)
+        for _ in range(10):
+            x = rng.uniform(-1.5, 1.5, 4).astype(np.float32)
+            ref_v = float(ref_b.barr(torch.tensor(x)))
+            got_v = float(our_b.barr(jnp.array(x)))
+            np.testing.assert_allclose(got_v, ref_v, rtol=1e-4, atol=1e-6)
+            ref_g = ref_b.dbarr(torch.tensor(x)).numpy()
+            got_g = np.asarray(our_b.dbarr(jnp.array(x)))
+            np.testing.assert_allclose(got_g, ref_g, rtol=1e-4, atol=1e-5)

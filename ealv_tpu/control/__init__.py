@@ -6,7 +6,7 @@ from .dynamics import (
     DoubleIntegratorRoll,
     make_dynamics,
 )
-from .barrier import BarrierFunction, NoBarrier, setup_barrier
+from .barrier import BarrierFunction, NoBarrier, TiltBarrierFunction, setup_barrier
 from .policies import RollPolicy, ZeroPolicy, BarrierPushPolicy, LQRPolicy, make_policy
 from .klerg import KlergConfig, KlergPlanner, PlannerState
 from .target_dists import (

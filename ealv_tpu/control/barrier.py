@@ -85,6 +85,65 @@ class BarrierFunction:
 
 
 @struct.dataclass
+class TiltBarrierFunction:
+    """Cone constraint on end-effector tilt (parity: TiltBarrierFunction,
+    barrier.py:95-144): penalizes tilt = arccos(cos r * cos p) when it drops
+    BELOW tilt_lim (the camera must stay pointed down within a cone), with
+    the analytic gradients of :126-138, stacked on an inner barrier.
+
+    ``r_idx``/``p_idx`` locate roll/pitch in the state vector;
+    ``angle_scale``/``angle_shift`` replace the reference's
+    rot_to_angles_fn ws-conversion hook.
+    """
+
+    inner: BarrierFunction
+    r_idx: int = struct.field(pytree_node=False, default=0)
+    p_idx: int = struct.field(pytree_node=False, default=1)
+    tilt_lim: float = struct.field(pytree_node=False, default=2.45)
+    power: float = struct.field(pytree_node=False, default=4.0)
+    weight: float = struct.field(pytree_node=False, default=10.0)
+    angle_scale: tuple = struct.field(pytree_node=False, default=(1.0, 1.0))
+    angle_shift: tuple = struct.field(pytree_node=False, default=(0.0, 0.0))
+
+    def _angles(self, x):
+        sc = jnp.asarray(self.angle_scale)
+        sh = jnp.asarray(self.angle_shift)
+        return jnp.stack([x[self.r_idx], x[self.p_idx]]) * sc + sh
+
+    def _tilt(self, x):
+        r, p = self._angles(x)
+        return jnp.arccos(jnp.clip(jnp.cos(r) * jnp.cos(p), -1.0, 1.0)), r, p
+
+    def barr(self, x):
+        tilt, _, _ = self._tilt(x)
+        active = (tilt <= self.tilt_lim).astype(jnp.float32)
+        t = active * self.weight * (tilt - self.tilt_lim) ** self.power
+        return t + self.inner.barr(x)
+
+    def dbarr(self, x):
+        tilt, r, p = self._tilt(x)
+        active = (tilt <= self.tilt_lim).astype(jnp.float32)
+        coeff = active * self.power * self.weight * (tilt - self.tilt_lim) ** (
+            self.power - 1
+        )
+        denom = jnp.sqrt(jnp.maximum(1.0 - jnp.cos(p) ** 2 * jnp.cos(r) ** 2, 1e-9))
+        g = jnp.zeros_like(x)
+        sc = jnp.asarray(self.angle_scale)
+        g = g.at[self.r_idx].add(coeff * jnp.sin(r) * jnp.cos(p) / denom * sc[0])
+        g = g.at[self.p_idx].add(coeff * jnp.sin(p) * jnp.cos(r) / denom * sc[1])
+        return g + self.inner.dbarr(x)
+
+    def batch(self, X):
+        return jax.vmap(self.barr)(X)
+
+    def update_lims(self, b_lim, b_buff: float = 0.1):
+        return self.replace(inner=self.inner.update_lims(b_lim, b_buff))
+
+    def truncate(self, n: int):
+        return self.replace(inner=self.inner.truncate(n))
+
+
+@struct.dataclass
 class NoBarrier:
     """Disabled barrier with the same pure API (parity: barrier.py:147-159)."""
 

@@ -1,1 +1,2 @@
 from .native import NativeControllers, build_native, ControlMode
+from .bridge import RobotBridge, SyntheticBridge, NativeBridge

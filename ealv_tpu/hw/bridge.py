@@ -1,0 +1,182 @@
+"""Hardware/sim service bridge — the reference's ROS surface without ROS.
+
+Parity target: the L1 robot facade (SURVEY.md §1): the `/klerg_cmd`
+(UpdateVel), `/klerg_pose` (UpdateState), `/klerg_start_pose`
+(GetStartState) services and the pause/resume/reset/controller-switch
+topics served by scripts/go_vel (hardware) and FrankaBridge (sim,
+franka_module.py:111-131).
+
+``RobotBridge`` is the abstract surface the experiment loops talk to;
+``SyntheticBridge`` backs it with the jittable sim; ``NativeBridge`` backs
+it with the C++ controller mux at 1 kHz for a real robot driver (the
+driver callback supplies robot state and consumes filter outputs — e.g., a
+libfranka control loop or any RT transport). When rospy is importable, a
+thin server can re-export RobotBridge methods as actual ROS services; this
+image has no ROS, so that wrapper is deliberately import-gated.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..runtime.watchdog import PauseManager
+
+
+class RobotBridge:
+    """Service surface: velocity/pose commands + synced observation."""
+
+    def klerg_cmd(self, twist6, brightness: float = -1.0) -> bool:
+        """Velocity command (UpdateVel). Returns success."""
+        raise NotImplementedError
+
+    def klerg_pose(self, pose6, brightness: float = -1.0) -> bool:
+        """Pose command (UpdateState)."""
+        raise NotImplementedError
+
+    def klerg_start_pose(self):
+        """(GetStartState): current pose6."""
+        raise NotImplementedError
+
+    def observe(self):
+        """Synced (pose6, vel6, force, image) tuple."""
+        raise NotImplementedError
+
+    # topic surface
+    def reset(self):
+        pass
+
+    def switch_controller(self, mode: str):
+        pass
+
+
+class SyntheticBridge(RobotBridge):
+    """Back the service surface with the jittable synthetic env (the role of
+    FrankaBridge + pybullet_service)."""
+
+    def __init__(self, env, env_state, pause: Optional[PauseManager] = None):
+        self.env = env
+        self.state = env_state
+        self.pause = pause or PauseManager()
+
+    def klerg_cmd(self, twist6, brightness: float = -1.0) -> bool:
+        if self.pause.paused:
+            return False
+        b = None if brightness < 0 else brightness
+        self.state = self.env.step_vel(self.state, np.asarray(twist6), b)
+        return True
+
+    def klerg_pose(self, pose6, brightness: float = -1.0) -> bool:
+        if self.pause.paused:
+            return False
+        b = None if brightness < 0 else brightness
+        self.state = self.env.step_pose(self.state, np.asarray(pose6), b)
+        return True
+
+    def klerg_start_pose(self):
+        return np.asarray(self.state.pose)
+
+    def observe(self):
+        pose, vel, force, img = self.env.observe(self.state)
+        return (np.asarray(pose), np.asarray(vel), np.asarray(force),
+                np.asarray(img))
+
+
+@dataclass
+class NativeBridge(RobotBridge):
+    """Back the service surface with the native controller mux running a
+    1 kHz loop against a robot driver.
+
+    ``driver`` supplies the RT plant: ``driver.state() -> (pose6, vel6,
+    wrench6)`` and ``driver.apply_velocity(twist6)`` /
+    ``driver.apply_pose(pose16)``. ``camera() -> image`` supplies frames.
+    The loop thread is the stand-in for franka_control's RT callback.
+    """
+
+    driver: object
+    camera: Optional[Callable] = None
+    dt: float = 1e-3
+    cmd_dt: float = 0.1
+    max_force: float = 30.0
+    pause: PauseManager = field(default_factory=PauseManager)
+    _thread: Optional[threading.Thread] = None
+    _running: bool = False
+
+    def __post_init__(self):
+        from .native import NativeControllers, ControlMode
+
+        self._ControlMode = ControlMode
+        self.mux = NativeControllers(self.dt, self.cmd_dt, self.max_force)
+
+    # ---- 1 kHz loop ----
+    def start(self):
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._running = False
+        if self._thread:
+            self._thread.join(timeout=1.0)
+
+    def _loop(self):
+        CM = self._ControlMode
+        while self._running:
+            pose6, vel6, wrench6 = self.driver.state()
+            self.mux.set_wrench(wrench6)
+            if self.mux.mode == CM.VELOCITY:
+                self.driver.apply_velocity(self.mux.tick_velocity())
+            elif self.mux.mode == CM.POSE:
+                self.driver.apply_pose(self.mux.tick_pose(self.driver.pose_matrix()))
+            time.sleep(self.dt)
+
+    # ---- service surface ----
+    def klerg_cmd(self, twist6, brightness: float = -1.0) -> bool:
+        if self.pause.paused:
+            return False
+        self.mux.switch_mode(self._ControlMode.VELOCITY)
+        return self.mux.command_twist(np.asarray(twist6, np.float64))
+
+    def klerg_pose(self, pose6, brightness: float = -1.0) -> bool:
+        if self.pause.paused:
+            return False
+        self.mux.switch_mode(self._ControlMode.POSE)
+        self.mux.command_pose(self.driver.pose_to_matrix(pose6))
+        return True
+
+    def klerg_start_pose(self):
+        return np.asarray(self.driver.state()[0])
+
+    def observe(self):
+        pose6, vel6, wrench6 = self.driver.state()
+        img = self.camera() if self.camera else None
+        force = np.linalg.norm(np.asarray(wrench6)[:3], keepdims=True)
+        return np.asarray(pose6), np.asarray(vel6), force, img
+
+    def reset(self):
+        self.mux.switch_mode(self._ControlMode.VELOCITY)
+
+    def switch_controller(self, mode: str):
+        self.mux.switch_mode(
+            self._ControlMode.POSE if mode == "pose" else self._ControlMode.VELOCITY
+        )
+
+
+def serve_ros(bridge: RobotBridge):  # pragma: no cover - needs a ROS install
+    """Re-export a RobotBridge as the reference's actual ROS services.
+    Import-gated: raises a clear error when rospy is unavailable."""
+    try:
+        import rospy  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "serve_ros needs a ROS environment (rospy); this deployment image "
+            "has none. Use SyntheticBridge/NativeBridge directly."
+        ) from e
+    raise NotImplementedError(
+        "ROS service wiring is deployment-specific; map klerg_cmd/klerg_pose/"
+        "klerg_start_pose onto rospy.Service handlers here."
+    )

@@ -80,6 +80,11 @@ class CVAE(nn.Module):
     dx: bool = False  # decode relative pose (samples - seed_x)
     z_mem: int = 5  # z-ensemble size (build_z_buffer z_mem=5)
     compute_dtype: jnp.dtype = jnp.float32
+    # image decoder family: 'conv_transpose' mirrors the reference's
+    # ConvTranspose2d stack; 'resize_conv' = nearest-upsample + stride-1
+    # conv — same capacity per layer, avoids XLA's slow transposed-conv
+    # gradients on TPU (also the standard checkerboard-artifact fix)
+    decoder_mode: str = "conv_transpose"
 
     def setup(self):
         (h, w), self._dims = conv_output_dims(
@@ -112,17 +117,43 @@ class CVAE(nn.Module):
             name="dec_out",
         )
         in_channels = [self.img_dim[2]] + list(self.cnn_channels[:-1])
-        self.dec_convs = [
-            nn.ConvTranspose(c_out, (k, k), strides=(s, s), padding="VALID",
-                             dtype=self.compute_dtype, name=f"dec_conv{i}")
-            for i, (k, s, c_out) in enumerate(
-                zip(
-                    reversed(self.cnn_kernels),
-                    reversed(self.cnn_strides),
-                    reversed(in_channels),
+        if self.decoder_mode == "conv_transpose":
+            self.dec_convs = [
+                nn.ConvTranspose(c_out, (k, k), strides=(s, s), padding="VALID",
+                                 dtype=self.compute_dtype, name=f"dec_conv{i}")
+                for i, (k, s, c_out) in enumerate(
+                    zip(
+                        reversed(self.cnn_kernels),
+                        reversed(self.cnn_strides),
+                        reversed(in_channels),
+                    )
                 )
-            )
-        ]
+            ]
+        elif self.decoder_mode == "subpixel":
+            from .subpixel import SubpixelConvTranspose
+
+            self.dec_convs = [
+                SubpixelConvTranspose(c_out, (k, k), strides=(s, s),
+                                      dtype=self.compute_dtype,
+                                      name=f"dec_conv{i}")
+                for i, (k, s, c_out) in enumerate(
+                    zip(
+                        reversed(self.cnn_kernels),
+                        reversed(self.cnn_strides),
+                        reversed(in_channels),
+                    )
+                )
+            ]
+        elif self.decoder_mode == "resize_conv":
+            self.dec_convs = [
+                nn.Conv(c_out, (k, k), strides=(1, 1), padding="SAME",
+                        dtype=self.compute_dtype, name=f"dec_conv{i}")
+                for i, (k, c_out) in enumerate(
+                    zip(reversed(self.cnn_kernels), reversed(in_channels))
+                )
+            ]
+        else:
+            raise ValueError(f"unknown decoder_mode {self.decoder_mode!r}")
 
     # ---------- sub-networks ----------
 
@@ -143,12 +174,19 @@ class CVAE(nn.Module):
         h = feat.reshape(feat.shape[0], *self.inner_shape)
         fwd_dims = self._dims
         for i, conv in enumerate(self.dec_convs):
-            h = conv(h)
             target = fwd_dims[len(self.dec_convs) - 1 - i]
-            pad_h = target[0] - h.shape[1]
-            pad_w = target[1] - h.shape[2]
-            if pad_h or pad_w:
-                h = jnp.pad(h, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="edge")
+            if self.decoder_mode == "resize_conv":
+                h = jax.image.resize(
+                    h, (h.shape[0], target[0], target[1], h.shape[3]), "nearest"
+                )
+                h = conv(h)
+            else:  # conv_transpose / subpixel (same shapes, same params)
+                h = conv(h)
+                pad_h = target[0] - h.shape[1]
+                pad_w = target[1] - h.shape[2]
+                if pad_h or pad_w:
+                    h = jnp.pad(h, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                                mode="edge")
             if i < len(self.dec_convs) - 1:
                 h = nn.relu(h)
         return h

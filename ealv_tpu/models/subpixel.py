@@ -1,0 +1,90 @@
+"""Subpixel (phase-decomposed) transposed convolution.
+
+Exact reimplementation of VALID strided ConvTranspose as s*s independent
+stride-1 convolutions on the UNDILATED input, interleaved depth-to-space
+style — the classical trick for avoiding input-dilation waste.
+
+MEASURED OUTCOME on TPU v5e (25-SGD-step scan, bf16, this model family):
+2.5x SLOWER than flax ConvTranspose (154 vs 60 ms/call) with bit-identical
+training curves — XLA's native transposed-conv lowering on TPU already
+avoids the dilation waste, and the per-phase strided output scatters
+dominate. Kept as a verified-exact reference implementation / option for
+backends where the tradeoff differs; `conv_transpose` remains the default.
+
+Math (1-D, stride s, kernel k, VALID): y[i] = sum_m x[m] W[i - m s].
+Writing i = q s + p for phase p in [0, s): y[q s + p] = sum_t x[q - t] W_p[t]
+with the subsampled kernel W_p[t] = W[t s + p] — a FULL convolution of x
+with W_p. 2-D runs one such conv per (p_i, p_j) phase pair.
+
+Verified bit-exact (f32) against flax.linen.ConvTranspose in
+tests/test_cvae.py::TestDecoderModes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def subpixel_conv_transpose(x, kernel, stride: int):
+    """x: (B, H, W, Cin), kernel: (k, k, Cin, Cout) [flax ConvTranspose
+    layout], stride: int. Returns the VALID transposed conv
+    (B, (H-1)s+k, (W-1)s+k, Cout)."""
+    b, h, w, cin = x.shape
+    k = kernel.shape[0]
+    cout = kernel.shape[3]
+    s = stride
+    # flax/lax conv_transpose cross-correlates the dilated input with the
+    # UNFLIPPED kernel, i.e. y[i] = sum_m x[m] W[(k-1) - (i - m s)]; fold
+    # that into the derivation by flipping the kernel up front
+    kernel = kernel[::-1, ::-1]
+    h_out = (h - 1) * s + k
+    w_out = (w - 1) * s + k
+
+    out = jnp.zeros((b, h_out, w_out, cout), x.dtype)
+    dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, cin, cout),
+                                        ("NHWC", "HWIO", "NHWC"))
+    for pi in range(s):
+        ti = -(-(k - pi) // s)  # ceil((k - pi) / s): phase-kernel height
+        if ti <= 0:
+            continue
+        for pj in range(s):
+            tj = -(-(k - pj) // s)
+            if tj <= 0:
+                continue
+            # subsampled kernel for this phase, flipped to turn the
+            # cross-correlation below into a true convolution
+            wp = kernel[pi::s, pj::s]  # (ti, tj, cin, cout)
+            wp = wp[::-1, ::-1]
+            yp = jax.lax.conv_general_dilated(
+                x, wp.astype(x.dtype),
+                window_strides=(1, 1),
+                padding=[(ti - 1, ti - 1), (tj - 1, tj - 1)],  # full conv
+                dimension_numbers=dn,
+            )  # (B, h + ti - 1, w + tj - 1, cout) == per-phase length
+            out = out.at[:, pi::s, pj::s, :].set(yp)
+    return out
+
+
+class SubpixelConvTranspose(nn.Module):
+    """Drop-in ConvTranspose(VALID) replacement with identical parameter
+    shapes/names, computed via the phase decomposition."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size[0]
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, k, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = subpixel_conv_transpose(
+            x.astype(self.dtype), kernel.astype(self.dtype), self.strides[0]
+        )
+        return y + bias.astype(self.dtype)

@@ -64,6 +64,22 @@ class TestBarrier:
         np.testing.assert_allclose(np.asarray(b.barr_weight), [5, 5, 0, 0])
         assert barr_lim.shape == (4, 2)
 
+    def test_tilt_barrier(self):
+        from ealv_tpu.control import TiltBarrierFunction
+        inner = BarrierFunction.create(jnp.array([[-1.0, 1.0]] * 4), 0.0, 4.0)
+        tb = TiltBarrierFunction(inner=inner, r_idx=0, p_idx=1, tilt_lim=2.45)
+        # camera pointing straight down: roll=pi -> tilt=arccos(-1)=pi > lim: inactive
+        x_down = jnp.array([jnp.pi, 0.0, 0.0, 0.0])
+        assert float(tb.barr(x_down)) == 0.0
+        # level camera: tilt=0 < lim -> penalized
+        x_level = jnp.array([0.1, 0.1, 0.0, 0.0])
+        assert float(tb.barr(x_level)) > 0
+        # analytic gradient matches autodiff
+        g = tb.dbarr(x_level)
+        want = jax.grad(lambda xx: tb.barr(xx))(x_level)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=1e-3,
+                                   atol=1e-5)
+
     def test_no_barrier(self):
         b, _ = setup_barrier("xy", jnp.ones((2, 2)), jnp.ones((2, 2)), [0, 1], use_barrier=False)
         assert isinstance(b, NoBarrier)

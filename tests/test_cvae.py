@@ -196,3 +196,39 @@ class TestLosses:
             p, opt_state, loss = step(p, opt_state, jax.random.PRNGKey(i))
             losses.append(float(loss))
         assert losses[-1] < losses[0] - 0.1
+
+
+class TestDecoderModes:
+    def test_resize_conv_variant(self):
+        """The resize_conv decoder family (perf/quality alternative) keeps
+        shapes and trains; conv_transpose stays the parity default."""
+        model = small_model(decoder_mode="resize_conv")
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            jnp.zeros((1, 2)), jnp.zeros((1, 45, 45, 3)),
+                            train=False)
+        out = model.apply(params, jnp.zeros((2, 2)), jnp.zeros((2, 45, 45, 3)),
+                          train=False)
+        assert out["img_pred"].shape == (2, 45, 45, 3)
+
+    def test_unknown_mode_raises(self):
+        import pytest
+        model = small_model(decoder_mode="bogus")
+        with pytest.raises(ValueError):
+            model.init({"params": jax.random.PRNGKey(0)},
+                       jnp.zeros((1, 2)), jnp.zeros((1, 45, 45, 3)), train=False)
+
+    def test_subpixel_exactness(self, rng):
+        """subpixel_conv_transpose must equal flax ConvTranspose bit-for-bit
+        (up to f32 reassociation) for all decoder shapes in use."""
+        from flax import linen as nn
+        from ealv_tpu.models.subpixel import subpixel_conv_transpose
+
+        for (h, k, s, cin, cout) in [(14, 5, 3, 20, 10), (44, 3, 2, 10, 10),
+                                     (7, 4, 2, 3, 5)]:
+            x = jnp.asarray(rng.standard_normal((2, h, h, cin)).astype(np.float32))
+            W = jnp.asarray(rng.standard_normal((k, k, cin, cout)).astype(np.float32))
+            ref = nn.ConvTranspose(cout, (k, k), strides=(s, s), padding="VALID",
+                                   use_bias=False).apply({"params": {"kernel": W}}, x)
+            got = subpixel_conv_transpose(x, W, s)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)

@@ -128,3 +128,59 @@ class TestMux:
         for _ in range(3000):
             out = mux.tick_velocity()
         assert abs(out[0]) < 0.01
+
+
+class TestBridges:
+    def test_synthetic_bridge_service_surface(self):
+        import jax.numpy as jnp
+        from ealv_tpu.utils.config import TRAY_LIM
+        from ealv_tpu.sim import SyntheticEnv
+        from ealv_tpu.hw import SyntheticBridge
+
+        env = SyntheticEnv(tray_lim=tuple(TRAY_LIM[s] for s in "xyzrpw"),
+                           dt=0.04, img_hw=(24, 24))
+        s = env.init(jnp.asarray([0.45, 0.0, 0.3, 3.14, 0, 0]))
+        br = SyntheticBridge(env, s)
+        start = br.klerg_start_pose()
+        assert br.klerg_cmd([0.05, 0, 0, 0, 0, 0])
+        pose, vel, force, img = br.observe()
+        assert pose[0] > start[0]
+        assert img.shape == (24, 24, 3)
+        # pause blocks commands (service failure -> pause semantics)
+        br.pause.pause()
+        assert not br.klerg_cmd([0.05, 0, 0, 0, 0, 0])
+
+    def test_native_bridge_loop(self):
+        import time
+        from ealv_tpu.hw import NativeBridge
+
+        class FakeDriver:
+            def __init__(self):
+                self.pose = np.zeros(6)
+                self.vel = np.zeros(6)
+
+            def state(self):
+                return self.pose.copy(), self.vel.copy(), np.zeros(6)
+
+            def apply_velocity(self, twist):
+                self.vel = np.asarray(twist)
+                self.pose = self.pose + self.vel * 1e-3
+
+            def apply_pose(self, m):
+                pass
+
+            def pose_matrix(self):
+                return np.eye(4).reshape(16)
+
+        drv = FakeDriver()
+        br = NativeBridge(driver=drv)
+        br.start()
+        try:
+            for _ in range(20):
+                br.klerg_cmd([0.05, 0, 0, 0, 0, 0])
+                time.sleep(0.01)
+            pose, vel, force, img = br.observe()
+        finally:
+            br.stop()
+        assert pose[0] > 0  # the 1 kHz loop ramped the robot forward
+        assert img is None  # no camera attached

@@ -44,10 +44,15 @@ def main():
         batch_size=64,
         num_learning_opt=25,
     )
-    exp = Experiment(cfg, train_calls_per_tick=1)
+    # north-star configuration (BASELINE.json): high-rate control with
+    # concurrent learning — a full 25-step batch-64 trainer call every 3rd
+    # control step (lax.cond-skipped otherwise), i.e. ~8.3 SGD steps per
+    # control step, still far beyond what the CPU reference achieves
+    # (633 ms/SGD step on this image's CPU)
+    exp = Experiment(cfg, train_calls_per_tick=1, train_every=3)
     es = exp.init(seed=0)
 
-    chunk = 10
+    chunk = 12  # multiple of train_every so every chunk has the same mix
     run = jax.jit(lambda s: exp.run_chunk(s, chunk))
     t0 = time.perf_counter()
     es, infos = run(es)
@@ -66,10 +71,16 @@ def main():
         best = min(best, (time.perf_counter() - t0) / chunk)
     hz = 1.0 / best
 
+    sgd_per_s = hz / 3.0 * cfg.num_learning_opt  # one call per 3 steps
+    import numpy as np
+    losses = np.asarray(infos["loss"])
+    losses = losses[losses != 0]  # skip-steps report zero metrics
+    last_loss = float(losses[-1]) if losses.size else float("nan")
     print(
-        f"[bench] {best*1e3:.1f} ms/step | loss {float(infos['loss'][-1]):.3f} | "
+        f"[bench] {best*1e3:.1f} ms/step | loss {last_loss:.3f} | "
         f"ergodic cost {float(infos['ergodic_cost'][-1]):.3f} | "
-        f"SGD steps/s {hz * cfg.num_learning_opt:.0f} | "
+        f"concurrent SGD steps/s {sgd_per_s:.0f} "
+        f"({sgd_per_s/1.58:.0f}x this box's CPU torch reference) | "
         f"buffer {int(es.buf.size)} | learning_ind {int(es.learning_ind)}",
         file=sys.stderr,
     )

@@ -59,9 +59,13 @@ class Experiment:
     """Builds and runs the full online-learning experiment."""
 
     def __init__(self, cfg: ExperimentConfig, train_calls_per_tick: int = 3,
-                 scene: Optional[TrayScene] = None):
+                 scene: Optional[TrayScene] = None, train_every: int = 1):
         self.cfg = cfg
         self.train_calls_per_tick = train_calls_per_tick
+        # run trainer calls only every k-th exploration step (k > 1 =
+        # high-rate control with interleaved learning; lax.cond skips the
+        # trainer compute entirely on off steps)
+        self.train_every = train_every
 
         states = cfg.states
         self.pose_sel = jnp.asarray(
@@ -290,7 +294,11 @@ class Experiment:
         )
 
         # 7. learning, throttled (train_async ratio, trainer_ddp.py:117-131):
-        # train only while learning_ind < ratio * (explr_step - warmup)
+        # train only while learning_ind < ratio * (explr_step - warmup), and
+        # only every ``train_every`` steps (the single-chip form of the
+        # reference's async actor/learner interleave: control runs at full
+        # rate, trainer calls slot in between). lax.cond SKIPS the trainer
+        # compute on off steps — a gated where() would still pay for it.
         params, opt_state = es.params, es.opt_state
         learning_ind = es.learning_ind
         metrics = None
@@ -299,14 +307,26 @@ class Experiment:
                 learning_ind
                 < cfg.target_learning_rate * (es.explr_step + 1 - cfg.frames_before_training)
             ) & (es.explr_step + 1 >= cfg.frames_before_training)
-            p2, o2, mets = train_call(
-                self.trainer, params, opt_state, buf,
-                jax.random.fold_in(k_train, i), hyper.beta, hyper.gamma,
-            )
-            params = jax.tree.map(lambda a, b: jnp.where(do, b, a), params, p2)
-            opt_state = jax.tree.map(
-                lambda a, b: jnp.where(do, b, a) if isinstance(a, jax.Array) else b,
-                opt_state, o2,
+            if self.train_every > 1:
+                do = do & (es.explr_step % self.train_every == 0)
+
+            def _train(args):
+                p, o = args
+                return train_call(
+                    self.trainer, p, o, buf,
+                    jax.random.fold_in(k_train, i), hyper.beta, hyper.gamma,
+                )
+
+            def _skip(args):
+                p, o = args
+                zeros = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype),
+                    jax.eval_shape(_train, (p, o))[2],
+                )
+                return p, o, zeros
+
+            params, opt_state, mets = jax.lax.cond(
+                do, _train, _skip, (params, opt_state)
             )
             learning_ind = learning_ind + do.astype(jnp.int32)
             metrics = mets

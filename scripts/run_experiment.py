@@ -40,13 +40,19 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="small model/images for quick runs")
     ap.add_argument("--train-calls", type=int, default=1)
+    ap.add_argument("--train-every", type=int, default=1,
+                    help="run a trainer call only every k-th control step")
     ap.add_argument("--save-rate", type=int, default=200)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint in the run dir "
+                         "(full mid-exploration resume: model, optimizer, "
+                         "replay ring, planner, env, schedules, RNG)")
     args = ap.parse_args()
 
     from ealv_tpu.utils.config import ExperimentConfig
     from ealv_tpu.runtime import Experiment
     from ealv_tpu.runtime.metrics import MetricsLog, run_dir
-    from ealv_tpu.runtime.checkpoint import save_checkpoint
+    from ealv_tpu.runtime.checkpoint import save_checkpoint, load_checkpoint, latest_checkpoint
     from ealv_tpu.viz import TrainingPlotter, ExplorationPlotter
 
     overrides = dict(explr_method=args.method, states=args.states,
@@ -68,13 +74,22 @@ def main():
     ml = MetricsLog(dirp)
     cfg.to_yaml(os.path.join(dirp, "config.yaml"))
 
-    exp = Experiment(cfg, train_calls_per_tick=args.train_calls)
+    exp = Experiment(cfg, train_calls_per_tick=args.train_calls,
+                     train_every=args.train_every)
     es = exp.init(seed=args.seed)
+    if args.resume:
+        ck = latest_checkpoint(os.path.join(dirp, "checkpoints"))
+        if ck:
+            es = load_checkpoint(ck, es)
+            ml.write_to_log(f"resumed from {ck} at step {int(es.explr_step)}")
+        else:
+            ml.write_to_log("no checkpoint found; starting fresh")
     run = jax.jit(lambda s: exp.run_chunk(s, args.chunk))
 
     import time
     t0 = time.time()
-    n_chunks = max(1, args.steps // args.chunk)
+    remaining = max(0, args.steps - int(es.explr_step))
+    n_chunks = max(1, remaining // args.chunk)
     for c in range(n_chunks):
         es, infos = run(es)
         ml.push_tick_info({k: infos[k] for k in

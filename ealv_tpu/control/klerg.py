@@ -418,8 +418,13 @@ class KlergPlanner:
                     u_new = jnp.where(m, u_app[None], u_eff)
                     ls_ok = jnp.ones((), bool)
                 else:
+                    # candidate windows are costed on the NOMINAL plan (the
+                    # reference fills self.u, :741-743) even though the
+                    # accepted window is applied to the policy-effective
+                    # controls below; identical for Roll/Zero, differs for
+                    # BarrierPush
                     ti, tf, ls_ok = self._line_search(
-                        cost_fn, t_app, u_app, u_eff, idx, last_cost
+                        cost_fn, t_app, u_app, u, idx, last_cost
                     )
                     t = jnp.arange(H)
                     m = (ls_ok & (t >= ti) & (t < tf))[:, None]

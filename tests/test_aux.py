@@ -185,3 +185,45 @@ class TestPlotting:
             weights=rng.uniform(0, 1, 80),
         )
         assert os.path.getsize(path) > 1000
+
+
+class TestEvaluate:
+    def test_evaluate_test_set(self, tmp_path, rng):
+        from ealv_tpu.models import CVAE
+        from ealv_tpu.runtime.evaluate import evaluate_test_set, imagined_views
+
+        model = CVAE(img_dim=(16, 16, 3), z_dim=4, s_dim=3, hidden_dim=(32, 16),
+                     cnn_kernels=(3,), cnn_strides=(2,), cnn_channels=(4,))
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            jnp.zeros((1, 3)), jnp.zeros((1, 16, 16, 3)),
+                            train=False)
+        poses = rng.uniform(-1, 1, (6, 3)).astype(np.float32)
+        images = rng.uniform(0, 1, (6, 16, 16, 3)).astype(np.float32)
+        m = evaluate_test_set(model, params, poses, images)
+        assert m["recon_mse"].shape == (6,)
+        assert np.isfinite(m["mean_nll"])
+        assert 0 <= m["active_units"] <= 4
+
+        imagined, lv = imagined_views(model, params, poses[0], images[0], poses[1:3])
+        assert imagined.shape == (2, 16, 16, 3)
+
+    def test_eval_report_from_npz(self, tmp_path, rng):
+        from ealv_tpu.models import CVAE
+        from ealv_tpu.runtime.evaluate import eval_report
+        from ealv_tpu.utils.config import ExperimentConfig
+
+        cfg = ExperimentConfig()
+        model = CVAE(img_dim=(16, 16, 3), z_dim=4, s_dim=3, hidden_dim=(32, 16),
+                     cnn_kernels=(3,), cnn_strides=(2,), cnn_channels=(4,))
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            jnp.zeros((1, 3)), jnp.zeros((1, 16, 16, 3)),
+                            train=False)
+        # fake a collect_test_set artifact (tray poses)
+        npz = str(tmp_path / "ts.npz")
+        np.savez(npz, poses=rng.uniform(0.3, 0.6, (5, 6)).astype(np.float32),
+                 images=rng.uniform(0, 1, (5, 16, 16, 3)).astype(np.float32),
+                 forces=np.zeros((5, 1), np.float32))
+        m = eval_report(model, params, npz, str(tmp_path), n_panels=2)
+        assert np.isfinite(m["mean_mse"])
+        import os
+        assert os.path.exists(str(tmp_path / "eval_0.png"))

@@ -268,38 +268,14 @@ class Experiment:
                                 robot_state, img,
                                 force if self.model.learn_force else None)
 
-        # 6. hyperparameters (pre_train_mp :487-545)
-        samples_hp = jax.random.uniform(
-            k_hp, (cfg.num_target_samples, cfg.s_dim),
-            minval=self.robot_lim[:, 0], maxval=self.robot_lim[:, 1],
-        )
-        pdf_vals = self.model.apply(es.params, mstate, samples_hp, method=CVAE.pdf)
-        all_x, x_mask = buf.get_all_x()
-        grade, spread = entropy_grade_spread(
-            pdf_vals, all_x, x_mask, samples_hp,
-            jnp.arange(cfg.s_dim), jnp.full(cfg.s_dim, cfg.std), cfg.xi,
-        )
-        buf = buf.update_hyperparams(es.explr_step, grade, spread)
-        hyper = hyperparam_update(
-            es.hyper, grade, spread,
-            fixed_beta=cfg.fixed_beta, beta_manual_ramp=cfg.beta_manual_ramp,
-            fixed_gamma=cfg.fixed_gamma, gamma_manual_ramp=cfg.gamma_manual_ramp,
-            other_locs=cfg.other_locs,
-            beta_start=cfg.beta_start_weight, beta_end=cfg.beta_end_weight,
-            beta_warmup_steps=cfg.beta_warmup_steps,
-            beta_warmup_epoch=cfg.beta_warmup_epoch,
-            gamma_start=cfg.gamma_start_weight, gamma_end=cfg.gamma_end_weight,
-            gamma_warmup_steps=cfg.gamma_warmup_steps,
-            gamma_warmup_epoch=cfg.gamma_warmup_epoch,
-        )
-
-        # 7. learning, throttled (train_async ratio, trainer_ddp.py:117-131):
-        # train only while learning_ind < ratio * (explr_step - warmup), and
-        # only every ``train_every`` steps (the single-chip form of the
-        # reference's async actor/learner interleave: control runs at full
-        # rate, trainer calls slot in between). lax.cond SKIPS the trainer
-        # compute on off steps — a gated where() would still pay for it.
+        # 6+7. hyperparameters + learning, throttled. The reference computes
+        # grade/spread in pre_train_mp ONCE PER TRAINER CALL
+        # (trainer_ddp.py:141-143 -> trainer_module.py:487-545), so both the
+        # entropy evaluation and the trainer live inside the same lax.cond:
+        # skipped steps (learning-ratio throttle, train_every interleave) pay
+        # for neither. A gated where() would still pay for both.
         params, opt_state = es.params, es.opt_state
+        hyper = es.hyper
         learning_ind = es.learning_ind
         metrics = None
         for i in range(self.train_calls_per_tick):
@@ -311,26 +287,54 @@ class Experiment:
                 do = do & (es.explr_step % self.train_every == 0)
 
             def _train(args):
-                p, o = args
-                return train_call(
-                    self.trainer, p, o, buf,
-                    jax.random.fold_in(k_train, i), hyper.beta, hyper.gamma,
+                p, o, b, h = args
+                # pre_train_mp: spread/grade from model entropy (:487-545)
+                samples_hp = jax.random.uniform(
+                    jax.random.fold_in(k_hp, i),
+                    (cfg.num_target_samples, cfg.s_dim),
+                    minval=self.robot_lim[:, 0], maxval=self.robot_lim[:, 1],
                 )
+                pdf_vals = self.model.apply(p, mstate, samples_hp, method=CVAE.pdf)
+                all_x, x_mask = b.get_all_x()
+                grade, spread = entropy_grade_spread(
+                    pdf_vals, all_x, x_mask, samples_hp,
+                    jnp.arange(cfg.s_dim), jnp.full(cfg.s_dim, cfg.std), cfg.xi,
+                )
+                b = b.update_hyperparams(es.explr_step, grade, spread)
+                h = hyperparam_update(
+                    h, grade, spread,
+                    fixed_beta=cfg.fixed_beta, beta_manual_ramp=cfg.beta_manual_ramp,
+                    fixed_gamma=cfg.fixed_gamma,
+                    gamma_manual_ramp=cfg.gamma_manual_ramp,
+                    other_locs=cfg.other_locs,
+                    beta_start=cfg.beta_start_weight, beta_end=cfg.beta_end_weight,
+                    beta_warmup_steps=cfg.beta_warmup_steps,
+                    beta_warmup_epoch=cfg.beta_warmup_epoch,
+                    gamma_start=cfg.gamma_start_weight,
+                    gamma_end=cfg.gamma_end_weight,
+                    gamma_warmup_steps=cfg.gamma_warmup_steps,
+                    gamma_warmup_epoch=cfg.gamma_warmup_epoch,
+                )
+                h = h._replace(iter=h.iter + self.trainer.num_learning_opt)
+                p, o, mets = train_call(
+                    self.trainer, p, o, b,
+                    jax.random.fold_in(k_train, i), h.beta, h.gamma,
+                )
+                return p, o, b, h, mets
 
             def _skip(args):
-                p, o = args
+                p, o, b, h = args
                 zeros = jax.tree.map(
                     lambda s: jnp.zeros(s.shape, s.dtype),
-                    jax.eval_shape(_train, (p, o))[2],
+                    jax.eval_shape(_train, (p, o, b, h))[4],
                 )
-                return p, o, zeros
+                return p, o, b, h, zeros
 
-            params, opt_state, mets = jax.lax.cond(
-                do, _train, _skip, (params, opt_state)
+            params, opt_state, buf, hyper, mets = jax.lax.cond(
+                do, _train, _skip, (params, opt_state, buf, hyper)
             )
             learning_ind = learning_ind + do.astype(jnp.int32)
             metrics = mets
-        hyper = hyper._replace(iter=hyper.iter + self.trainer.num_learning_opt)
 
         es = ExperimentState(
             params=params, opt_state=opt_state, mstate=mstate, pstate=pstate,

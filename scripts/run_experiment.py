@@ -47,6 +47,11 @@ def main():
                     help="resume from the latest checkpoint in the run dir "
                          "(full mid-exploration resume: model, optimizer, "
                          "replay ring, planner, env, schedules, RNG)")
+    ap.add_argument("--cluster-every", type=int, default=0,
+                    help="run the online clustering monitor every N steps "
+                         "(the reference's live clusterer; uncertainty "
+                         "localizes objects best DURING training). Saves a "
+                         "cluster checkpoint when clusters stabilize.")
     args = ap.parse_args()
 
     from ealv_tpu.utils.config import ExperimentConfig
@@ -86,6 +91,25 @@ def main():
             ml.write_to_log("no checkpoint found; starting fresh")
     run = jax.jit(lambda s: exp.run_chunk(s, args.chunk))
 
+    monitor = None
+    if args.cluster_every > 0:
+        from ealv_tpu.fingerprint.monitor import ClusteringMonitor
+        from ealv_tpu.control import setup_barrier
+        import jax.numpy as jnp
+        pos_states = "".join(s for s in cfg.states if s == s.lower())
+
+        barrier, _ = setup_barrier(
+            pos_states, jnp.asarray(cfg.robot_lim),
+            jnp.asarray(cfg.robot_ctrl_lim)[: len(pos_states)],
+            list(range(len(pos_states))),
+        )
+        monitor = ClusteringMonitor(
+            model=exp.model, robot_lim=cfg.robot_lim, num_pts=600,
+            dir_path=os.path.join(dirp, "clusters"),
+            cluster_kwargs=dict(use_optimize_samples=True, barrier=barrier,
+                                bandwidth=0.3),
+        )
+
     import time
     t0 = time.time()
     remaining = max(0, args.steps - int(es.explr_step))
@@ -99,10 +123,25 @@ def main():
         if (c + 1) * args.chunk % args.save_rate < args.chunk:
             save_checkpoint(os.path.join(dirp, "checkpoints"), es,
                             step=int(es.explr_step))
+        if monitor and (c + 1) * args.chunk % args.cluster_every < args.chunk:
+            n = int(es.buf.size)
+            res, stable = monitor.update(
+                es.params, es.buf.x[max(0, n - 6):n], es.buf.y[max(0, n - 6):n],
+                jax.random.fold_in(jax.random.PRNGKey(42), c),
+                int(es.explr_step),
+                checkpoint_fn=lambda s: save_checkpoint(
+                    os.path.join(dirp, "cluster_checkpoints"), es, step=s),
+            )
+            ml.write_to_log(
+                f"clusters @ {int(es.explr_step)}: "
+                f"{np.round(res.means[:, :2], 2).tolist()} stable={stable}"
+            )
     wall = time.time() - t0
     ml.write_to_log(f"done: {int(es.explr_step)} steps in {wall:.0f}s "
                     f"({int(es.explr_step)/wall:.2f} Hz)")
     ml.save()
+    if monitor:
+        monitor.save_log()
     save_checkpoint(os.path.join(dirp, "checkpoints"), es,
                     step=int(es.explr_step))
 

@@ -151,3 +151,71 @@ class TestPlannerMechanics:
         target = gaussian_dist(jnp.zeros(4), jnp.ones(4))
         _, info = jax.jit(lambda ps: planner.plan(ps, target))(pstate)
         np.testing.assert_allclose(np.asarray(info["p"]), 1.0, rtol=1e-5)
+
+
+class TestPlannerFlagCombos:
+    """Non-default planner configurations must trace and run (full_cost,
+    fixed_lam, saturate, ctrl_app_search off, alternative policies) — these
+    are the robot_config.yaml knobs (SURVEY §5 'planner flags of note')."""
+
+    @pytest.mark.parametrize("cfg_kw", [
+        dict(full_cost=True),
+        dict(fixed_lam=True, lam=2),
+        dict(saturate=True),
+        dict(ctrl_app_search=False),
+        dict(weight_env=True, weight_temp=False),
+        dict(add_recent_history=True),
+        dict(sample_near_current_loc=True),
+    ])
+    def test_flag_combo_runs(self, cfg_kw):
+        planner, pstate = build_planner(num_target_samples=64,
+                                        num_traj_samples=32, **cfg_kw)
+        target = gaussian_dist(jnp.zeros(4), jnp.ones(4))
+        step = jax.jit(lambda ps: planner.step(ps, target, save_update=True))
+        for _ in range(3):
+            pstate, st, vel, ctrl, info = step(pstate)
+        assert np.isfinite(np.asarray(st)).all()
+        assert np.isfinite(float(info["cost"]))
+
+    @pytest.mark.parametrize("policy_name", ["Zero", "BarrierPush", "LQR"])
+    def test_alternative_policies(self, policy_name):
+        from ealv_tpu.control import KlergConfig, KlergPlanner, make_dynamics, make_policy, setup_barrier
+        dyn = make_dynamics("xy", dt=0.1)
+        policy = make_policy(policy_name, dyn, 10)
+        cfg = KlergConfig(horizon=10, num_target_samples=64, num_traj_samples=32,
+                          R=0.05)
+        planner = KlergPlanner(cfg, dyn, policy, lambda ctx, s: ctx.pdf(s),
+                               "xyXY", explr_locs=[0, 1, 2, 3])
+        robot_lim = jnp.array([[-1.0, 1.0]] * 2 + [[-1.5, 1.5]] * 2)
+        barrier, _ = setup_barrier("xy", robot_lim, jnp.array([[-1.5, 1.5]] * 2),
+                                   [0, 1])
+        pstate = planner.init_state(jnp.array([0.3, -0.3, 0.0, 0.0]), robot_lim,
+                                    barrier, buffer_capacity=128)
+        target = gaussian_dist(jnp.zeros(4), jnp.ones(4))
+        step = jax.jit(lambda ps: planner.step(ps, target, save_update=True))
+        for _ in range(3):
+            pstate, st, vel, ctrl, info = step(pstate)
+        assert np.isfinite(np.asarray(st)).all()
+
+    def test_roll_env_planner(self):
+        """Full SO(3) roll dynamics through the planner (xyzrpw)."""
+        from ealv_tpu.control import KlergConfig, KlergPlanner, make_dynamics, make_policy, setup_barrier
+        dyn = make_dynamics("xyzrpw", dt=0.1)
+        policy = make_policy("Roll", dyn, 6)
+        cfg = KlergConfig(horizon=6, num_target_samples=48, num_traj_samples=24,
+                          R=0.5)
+        planner = KlergPlanner(cfg, dyn, policy, lambda ctx, s: ctx.pdf(s),
+                               "xyzrpw", explr_locs=[0, 1, 2, 3, 4, 5])
+        robot_lim = jnp.array([[-1.0, 1.0]] * 3 + [[-0.75, 0.75]] * 2 + [[-1.0, 1.0]])
+        barrier, _ = setup_barrier("xyzrpw", robot_lim,
+                                   jnp.array([[-1.25, 1.25]] * 6), list(range(6)))
+        pstate = planner.init_state(jnp.zeros(12), robot_lim, barrier,
+                                    buffer_capacity=64)
+        target = gaussian_dist(jnp.zeros(6), jnp.ones(6))
+        step = jax.jit(lambda ps: planner.step(ps, target, save_update=True))
+        for _ in range(3):
+            pstate, st, vel, ctrl, info = step(pstate)
+        assert np.isfinite(np.asarray(st)).all()
+        # carried rotation stays orthonormal through planning
+        R = np.asarray(pstate.dyn.R)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)

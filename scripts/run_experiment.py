@@ -118,8 +118,10 @@ def main():
         es, infos = run(es)
         ml.push_tick_info({k: infos[k] for k in
                            ("loss", "ergodic_cost", "beta", "gamma")})
+        losses = np.asarray(infos["loss"])
+        losses = losses[losses != 0]  # skip-steps report zero metrics
         ml.progress(int(es.explr_step), int(es.learning_ind),
-                    float(infos["loss"][-1]))
+                    float(losses[-1]) if losses.size else float("nan"))
         if (c + 1) * args.chunk % args.save_rate < args.chunk:
             save_checkpoint(os.path.join(dirp, "checkpoints"), es,
                             step=int(es.explr_step))

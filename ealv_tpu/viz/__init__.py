@@ -3,6 +3,7 @@ from .plotting import (
     ExplorationPlotter,
     TrainingPlotter,
     EvalPlotter,
+    MultiEvalPlotter,
     BeliefPlotter,
     plot_clusters,
 )

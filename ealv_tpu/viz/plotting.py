@@ -162,6 +162,34 @@ class EvalPlotter:
         return _save(fig, self.dir_path, name)
 
 
+class MultiEvalPlotter:
+    """Grid of seed/actual/imagined rows across several poses (parity:
+    plotting_matplotlib.MultiEvalPlotter :915 / FPEvalPlotter :848)."""
+
+    def __init__(self, dir_path: str):
+        set_mpl_format()
+        self.dir_path = dir_path
+
+    def render(self, rows, name: str = "multi_eval.png"):
+        """rows: list of (seed_img, actual_img, imagined_img[, label])."""
+        n = len(rows)
+        fig, axs = plt.subplots(n, 3, figsize=(7.5, 2.4 * n), squeeze=False)
+        for r, row in enumerate(rows):
+            label = row[3] if len(row) > 3 else f"pose {r}"
+            for c, (img, title) in enumerate(
+                zip(row[:3], ["seed", "actual", "imagined"])
+            ):
+                ax = axs[r, c]
+                ax.imshow(np.clip(np.asarray(img), 0, 1))
+                if r == 0:
+                    ax.set_title(title)
+                if c == 0:
+                    ax.set_ylabel(label)
+                ax.set_xticks([])
+                ax.set_yticks([])
+        return _save(fig, self.dir_path, name)
+
+
 class BeliefPlotter:
     """Belief-grid heatmaps per fingerprint (parity: FingerprintsPlotter,
     fingerprint_module.py:703-870), marginalized over angle dims."""

@@ -227,3 +227,10 @@ class TestEvaluate:
         assert np.isfinite(m["mean_mse"])
         import os
         assert os.path.exists(str(tmp_path / "eval_0.png"))
+
+    def test_multi_eval_plot(self, tmp_path, rng):
+        from ealv_tpu.viz import MultiEvalPlotter
+        img = lambda: rng.uniform(0, 1, (24, 24, 3))
+        p = MultiEvalPlotter(str(tmp_path)).render(
+            [(img(), img(), img(), "a"), (img(), img(), img())])
+        assert os.path.getsize(p) > 1000

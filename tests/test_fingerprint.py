@@ -274,3 +274,41 @@ class TestIdentify:
         )
         assert len(new) == 2
         assert all(int(b.count) == 1 for b in new)
+
+
+class TestArtifactIO:
+    def test_fingerprint_roundtrip(self, tmp_path, rng):
+        from ealv_tpu.fingerprint import save_fingerprint, load_fingerprints
+        from ealv_tpu.fingerprint.identify import FingerprintSet
+
+        fp = {
+            "z_mu": rng.standard_normal((5, 4)).astype(np.float32),
+            "z_var": rng.standard_normal((5, 4)).astype(np.float32),
+            "x": rng.uniform(-1, 1, (5, 2)).astype(np.float32),
+            "center": np.array([0.1, -0.2], np.float32),
+            "center_img": rng.uniform(0, 1, (8, 8, 3)).astype(np.float32),
+        }
+        save_fingerprint(str(tmp_path / "fp0"), fp)
+        save_fingerprint(str(tmp_path / "fp1.npz"), fp)
+        loaded = load_fingerprints(str(tmp_path))
+        assert len(loaded) == 2
+        np.testing.assert_allclose(loaded[0]["z_mu"], fp["z_mu"])
+        FingerprintSet.from_lists(loaded)  # pipes into identification
+
+    def test_belief_roundtrip(self, tmp_path):
+        from ealv_tpu.fingerprint import (FingerprintBelief, save_beliefs,
+                                          load_beliefs)
+
+        b = FingerprintBelief.create("xy", [[-1, 1], [-1, 1]], num_samples=12)
+        b = b.push(jnp.array([0.3, 0.3]), jnp.asarray(0.2)).update_prior()
+        path = save_beliefs(str(tmp_path / "beliefs"), [b, b], names=["a", "b"])
+        loaded, names = load_beliefs(path, "xy")
+        assert names == ["a", "b"]
+        np.testing.assert_allclose(np.asarray(loaded[0].prior),
+                                   np.asarray(b.prior), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(loaded[0].grid),
+                                   np.asarray(b.grid), rtol=1e-6)
+        assert int(loaded[0].count) == 1
+        # rebuilt belief still updates
+        b2 = loaded[0].push(jnp.array([0.1, 0.1]), jnp.asarray(0.5)).update_prior()
+        assert int(b2.count) == 2

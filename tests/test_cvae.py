@@ -232,3 +232,7 @@ class TestDecoderModes:
             got = subpixel_conv_transpose(x, W, s)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                        rtol=1e-4, atol=1e-4)
+            from ealv_tpu.models.subpixel import subpixel_conv_transpose_d2s
+            got2 = subpixel_conv_transpose_d2s(x, W, s)
+            np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)

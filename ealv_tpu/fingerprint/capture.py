@@ -159,10 +159,13 @@ def build_fingerprints(
     mode: str = "sphere",
     num_pts: int = 1000,
     cluster_kwargs: Optional[dict] = None,
+    out_dir: Optional[str] = None,
 ):
     """Full extraction pipeline: cluster the model's uncertainty field ->
     capture a fingerprint at every discovered center. Returns
-    (list of fingerprint dicts, ClusterResult)."""
+    (list of fingerprint dicts, ClusterResult). With ``out_dir`` each
+    fingerprint is persisted as {out_dir}/fp{k}_{mode}.npz (the reference's
+    per-fingerprint pickles, build_fingerprints:327-337)."""
     res: ClusterResult = find_clusters(
         model, params, seeds_x, seeds_y, key,
         robot_lim=cfg.robot_lim, num_pts=num_pts,
@@ -177,4 +180,7 @@ def build_fingerprints(
             num_steps=num_steps, mode=mode, seed=k,
         )
         dicts.append(fp)
+        if out_dir:
+            from .io import save_fingerprint
+            save_fingerprint(f"{out_dir}/fp{k}_{mode}", fp)
     return dicts, res

@@ -95,3 +95,9 @@ class FingerprintTestRuntime:
             idx = int(np.argmax(np.asarray(b.pdf_grid())))
             peaks.append(np.asarray(b.grid)[idx])
         return np.stack(peaks)
+
+    def save(self, path: str, names=None) -> str:
+        """Persist the belief grids (FingerprintDist.save_results parity) in
+        the format capture_fingerprint_belief.py consumes."""
+        from .io import save_beliefs
+        return save_beliefs(path, self.beliefs, names)

@@ -76,6 +76,37 @@ class FingerprintSet(NamedTuple):
         )
 
 
+def calibrate_thresholds(fps: FingerprintSet, method: str = "L2"):
+    """Adaptive belief thresholds from the fingerprints' own separation
+    (parity: get_separation + target_dists construction,
+    fingerprint_module.py:242-260,154-161): thresh = MIN cross-fingerprint
+    latent distance (a match must beat the closest two objects ever get),
+    clip = 2x the MAX. Returns (thresh, clip) floats.
+    """
+    k, s, z = fps.z_mu.shape
+    mins, maxs = [], []
+    for a in range(k):
+        for b in range(a + 1, k):
+            na = int(fps.mask[a].sum())
+            nb = int(fps.mask[b].sum())
+            mu1 = jnp.repeat(fps.z_mu[a, :na], nb, axis=0)
+            lv1 = jnp.repeat(fps.z_logvar[a, :na], nb, axis=0)
+            mu2 = jnp.tile(fps.z_mu[b, :nb], (na, 1))
+            lv2 = jnp.tile(fps.z_logvar[b, :nb], (na, 1))
+            d = latent_distance(method, mu1, lv1, mu2, lv2)
+            mins.append(float(jnp.min(d)))
+            maxs.append(float(jnp.max(d)))
+    if not mins:  # single fingerprint: fall back to within-fp stats
+        na = int(fps.mask[0].sum())
+        mu = fps.z_mu[0, :na]
+        lv = fps.z_logvar[0, :na]
+        d = latent_distance(method, jnp.repeat(mu, na, 0), jnp.repeat(lv, na, 0),
+                            jnp.tile(mu, (na, 1)), jnp.tile(lv, (na, 1)))
+        d = d[d > 0]
+        return float(jnp.mean(d)), float(jnp.max(d)) * 2.0
+    return min(mins), max(maxs) * 2.0
+
+
 def identify_step(model: CVAE, params, fps: FingerprintSet, test_x, test_y,
                   dist_method: str = "L2", error_mode: bool = False,
                   test_force=None):

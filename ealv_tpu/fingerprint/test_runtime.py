@@ -45,8 +45,13 @@ class FingerprintTestRuntime:
     def __post_init__(self):
         k = int(self.fps.center.shape[0])
         if not self.beliefs:
+            # adaptive match thresholds from the fingerprints' separation
+            # (fingerprint_module.py:154-161)
+            from .identify import calibrate_thresholds
+            thresh, clip = calibrate_thresholds(self.fps, self.dist_method)
             self.beliefs = [
-                FingerprintBelief.create(self.cfg.states, self.cfg.robot_lim)
+                FingerprintBelief.create(self.cfg.states, self.cfg.robot_lim,
+                                         thresh=thresh, clip=clip)
                 for _ in range(k)
             ]
         # planner target = a FingerprintBelief's interpolated pdf; a fresh

@@ -312,3 +312,35 @@ class TestArtifactIO:
         # rebuilt belief still updates
         b2 = loaded[0].push(jnp.array([0.1, 0.1]), jnp.asarray(0.5)).update_prior()
         assert int(b2.count) == 2
+
+
+class TestCalibration:
+    def test_calibrate_thresholds(self, rng):
+        from ealv_tpu.fingerprint import calibrate_thresholds
+        dicts = []
+        for i in range(2):
+            dicts.append({
+                "z_mu": (rng.standard_normal((6, 4)) + 3 * i).astype(np.float32),
+                "z_var": np.full((6, 4), -1.0, np.float32),
+                "x": rng.uniform(-1, 1, (6, 2)).astype(np.float32),
+                "center": np.zeros(2, np.float32),
+                "center_img": np.zeros((8, 8, 3), np.float32),
+            })
+        fps = FingerprintSet.from_lists(dicts)
+        thresh, clip = calibrate_thresholds(fps, "L2")
+        assert 0 < thresh < clip
+        # well-separated clusters: min cross distance is substantial
+        assert thresh > 1.0
+
+    def test_single_fingerprint_fallback(self, rng):
+        from ealv_tpu.fingerprint import calibrate_thresholds
+        d = {
+            "z_mu": rng.standard_normal((5, 4)).astype(np.float32),
+            "z_var": np.full((5, 4), -1.0, np.float32),
+            "x": rng.uniform(-1, 1, (5, 2)).astype(np.float32),
+            "center": np.zeros(2, np.float32),
+            "center_img": np.zeros((8, 8, 3), np.float32),
+        }
+        fps = FingerprintSet.from_lists([d])
+        thresh, clip = calibrate_thresholds(fps, "L2")
+        assert 0 < thresh < clip

@@ -6,7 +6,7 @@ fingerprint capture pipeline).
   python scripts/build_manual_fingerprints.py \
       --ckpt runs/synth/entklerg_0000/checkpoints/step_0001000 \
       --config runs/synth/entklerg_0000/config.yaml \
-      --centers -0.4,-0.4,0 0.4,0.5,0 --out fingerprints/
+      --centers='-0.4,-0.4,0;0.4,0.5,0' --out fingerprints/
 """
 
 import argparse
@@ -27,8 +27,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--ckpt", required=True)
-    ap.add_argument("--centers", nargs="+", required=True,
-                    help="comma-separated robot-coord centers, e.g. -0.4,-0.4,0")
+    ap.add_argument("--centers", required=True,
+                    help="semicolon-separated robot-coord centers, e.g. "
+                         "'-0.4,-0.4,0;0.4,0.5,0' (single argument so "
+                         "negative coordinates survive argparse)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--mode", default="sphere", choices=["sphere", "cone", "cylinder"])
     ap.add_argument("--out", default="fingerprints")
@@ -45,7 +47,7 @@ def main():
     es = load_checkpoint(args.ckpt, es)
 
     os.makedirs(args.out, exist_ok=True)
-    for i, c in enumerate(args.centers):
+    for i, c in enumerate(args.centers.split(";")):
         center = np.asarray([float(v) for v in c.split(",")], np.float32)
         fp = capture_fingerprint(exp.model, es.params, cfg, center,
                                  num_steps=args.steps, mode=args.mode, seed=i)

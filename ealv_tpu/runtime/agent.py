@@ -59,13 +59,26 @@ class Experiment:
     """Builds and runs the full online-learning experiment."""
 
     def __init__(self, cfg: ExperimentConfig, train_calls_per_tick: int = 3,
-                 scene: Optional[TrayScene] = None, train_every: int = 1):
+                 scene: Optional[TrayScene] = None, train_every: int = 1,
+                 mesh=None):
         self.cfg = cfg
         self.train_calls_per_tick = train_calls_per_tick
         # run trainer calls only every k-th exploration step (k > 1 =
         # high-rate control with interleaved learning; lax.cond skips the
         # trainer compute entirely on off steps)
         self.train_every = train_every
+        # multi-chip: with a jax.sharding.Mesh, the trainer runs
+        # data-parallel over its 'data' axis (DDP semantics) and the
+        # planner's uncertainty decode shards its candidate samples — the
+        # whole tick stays one program, collectives ride ICI
+        self.mesh = mesh
+        if mesh is not None:
+            n = mesh.shape["data"]
+            if cfg.batch_size % n or cfg.num_target_samples % n:
+                raise ValueError(
+                    f"batch_size ({cfg.batch_size}) and num_target_samples "
+                    f"({cfg.num_target_samples}) must divide the mesh size {n}"
+                )
 
         states = cfg.states
         self.pose_sel = jnp.asarray(
@@ -106,6 +119,9 @@ class Experiment:
 
         def pdf_fn(ctx, samples):
             params, mstate = ctx
+            if self.mesh is not None and not cfg.use_z_ensemble:
+                from ..parallel.train import sharded_pdf
+                return sharded_pdf(self.model, self.mesh, params, mstate, samples)
             return self.model.apply(
                 params, mstate, samples,
                 use_z_ensemble=cfg.use_z_ensemble, method=CVAE.pdf,
@@ -316,10 +332,17 @@ class Experiment:
                     gamma_warmup_epoch=cfg.gamma_warmup_epoch,
                 )
                 h = h._replace(iter=h.iter + self.trainer.num_learning_opt)
-                p, o, mets = train_call(
-                    self.trainer, p, o, b,
-                    jax.random.fold_in(k_train, i), h.beta, h.gamma,
-                )
+                if self.mesh is not None:
+                    from ..parallel.train import dp_train_call
+                    p, o, mets = dp_train_call(
+                        self.trainer, self.mesh, p, o, b,
+                        jax.random.fold_in(k_train, i), h.beta, h.gamma,
+                    )
+                else:
+                    p, o, mets = train_call(
+                        self.trainer, p, o, b,
+                        jax.random.fold_in(k_train, i), h.beta, h.gamma,
+                    )
                 return p, o, b, h, mets
 
             def _skip(args):

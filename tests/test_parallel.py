@@ -105,3 +105,45 @@ class TestShardedPdf:
         p_local = model.apply(params, mstate, samples, method=CVAE.pdf)
         np.testing.assert_allclose(np.asarray(p_sharded), np.asarray(p_local),
                                    rtol=1e-4, atol=1e-6)
+
+
+class TestMeshExperiment:
+    def test_full_tick_on_mesh(self):
+        """The whole explore+learn tick with mesh-parallel trainer +
+        sample-sharded pdf must run and track the single-device run."""
+        from ealv_tpu.utils.config import ExperimentConfig
+        from ealv_tpu.runtime import Experiment
+
+        cfg = ExperimentConfig(
+            states="xyw", image_dim=(24, 24, 3), cnn_kernels=(3, 3),
+            cnn_strides=(2, 2), cnn_channels=(8, 8), hidden_dim=(64, 32),
+            z_dim=8, num_target_samples=64, num_traj_samples=32,
+            traj_buffer_capacity=128, buffer_capacity=128,
+            batch_size=16, num_learning_opt=2,
+        )
+        mesh = make_mesh(8)
+        exp_m = Experiment(cfg, train_calls_per_tick=1, mesh=mesh)
+        exp_1 = Experiment(cfg, train_calls_per_tick=1)
+        es_m, es_1 = exp_m.init(seed=0), exp_1.init(seed=0)
+        tick_m, tick_1 = jax.jit(exp_m.tick), jax.jit(exp_1.tick)
+        for _ in range(4):
+            es_m, info_m = tick_m(es_m)
+            es_1, info_1 = tick_1(es_1)
+        assert int(es_m.learning_ind) == int(es_1.learning_ind)
+        # exploration trajectories agree closely (training noise sharding is
+        # the only divergence source)
+        np.testing.assert_allclose(np.asarray(info_m["robot_state"]),
+                                   np.asarray(info_1["robot_state"]), atol=0.05)
+
+    def test_mesh_divisibility_guard(self):
+        from ealv_tpu.utils.config import ExperimentConfig
+        from ealv_tpu.runtime import Experiment
+        cfg = ExperimentConfig(states="xyw", image_dim=(24, 24, 3),
+                               cnn_kernels=(3, 3), cnn_strides=(2, 2),
+                               cnn_channels=(8, 8), hidden_dim=(64, 32),
+                               z_dim=8, num_target_samples=64,
+                               num_traj_samples=32, traj_buffer_capacity=128,
+                               buffer_capacity=128, batch_size=10,  # !% 8
+                               num_learning_opt=2)
+        with pytest.raises(ValueError):
+            Experiment(cfg, mesh=make_mesh(8))

@@ -122,17 +122,22 @@ class ReplayBuffer(NamedTuple):
 
     def _weights_log(self, weighted: bool):
         """Log sampling weights over slots. Weighted mode reproduces the
-        reference's recency ramp clamp(arange(n), min=n/2) over slot order
-        (vae_buffer.py:318)."""
+        reference's recency ramp clamp(arange(n), min=n/2) over CHRONOLOGICAL
+        order (vae_buffer.py:318) — computed from each slot's age relative to
+        the ring head so the ramp stays correct after the ring wraps (slot
+        order and push order diverge once pos cycles past capacity)."""
         cap = self.capacity
-        slots = jnp.arange(cap, dtype=jnp.float32)
+        slots = jnp.arange(cap, dtype=jnp.int32)
         n = self.size.astype(jnp.float32)
+        age = jnp.mod(self.pos - 1 - slots, cap).astype(jnp.float32)
+        rank = n - 1.0 - age  # 0 = oldest valid push, n-1 = newest
+        valid = rank >= 0.0
         if weighted:
-            w = jnp.clip(slots, n / 2.0, None)
+            w = jnp.clip(rank, n / 2.0, None)
         else:
             w = jnp.ones(cap)
-        w = jnp.where(slots < n, w, 0.0)
-        return jnp.log(jnp.maximum(w, 1e-30)) + jnp.where(slots < n, 0.0, -1e30)
+        w = jnp.where(valid, w, 0.0)
+        return jnp.log(jnp.maximum(w, 1e-30)) + jnp.where(valid, 0.0, -1e30)
 
     def sample_indices(self, key, batch_size: int, weighted: bool = False):
         """Without-replacement weighted sampling via Gumbel top-k

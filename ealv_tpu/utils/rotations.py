@@ -5,8 +5,11 @@ Covers the behavior of the reference's rotations library
 matrix_to_euler_angles :142) and the skew-matrix helpers in
 control_torch/dynamics.py:164-222 — re-derived for JAX, not translated.
 
-Convention: intrinsic XYZ, i.e. ``R = Rx(a) @ Ry(b) @ Rz(c)`` for angles
-``(a, b, c)``, matching the reference's 'XYZ' usage. The matrix exponential
+Convention: scipy EXTRINSIC 'xyz', i.e. ``R = Rz(c) @ Ry(b) @ Rx(a)`` for
+angles ``(a, b, c)``. The reference deliberately flips pytorch3d's intrinsic
+product to this order (rotations.py:96 "flipped order to match scipy
+rotations"; dynamics.py:312 "equivalent to scipy from_euler('xyz', rot)"),
+and the SO(3) roll env's trajectories depend on it. The matrix exponential
 of a skew-symmetric matrix uses the closed-form Rodrigues formula instead of
 a general expm — cheaper and fully differentiable on TPU.
 """
@@ -51,25 +54,30 @@ _AXES = {"X": _rx, "Y": _ry, "Z": _rz}
 
 
 def euler_angles_to_matrix(angles, convention: str = "XYZ"):
-    """Euler angles (..., 3) -> rotation matrices (..., 3, 3)."""
+    """Euler angles (..., 3) -> rotation matrices (..., 3, 3).
+
+    Flipped product ``m2 @ m1 @ m0`` like the reference (rotations.py:96):
+    'XYZ' angles (a, b, c) give ``Rz(c) @ Ry(b) @ Rx(a)`` — scipy's
+    extrinsic ``from_euler('xyz', ...)``.
+    """
     angles = jnp.asarray(angles)
     mats = [_AXES[c](angles[..., i]) for i, c in enumerate(convention)]
-    return _mm(_mm(mats[0], mats[1]), mats[2])
+    return _mm(_mm(mats[2], mats[1]), mats[0])
 
 
 def matrix_to_euler_angles(R, convention: str = "XYZ"):
     """Rotation matrices (..., 3, 3) -> Euler angles (..., 3), XYZ only.
 
-    For R = Rx(a) Ry(b) Rz(c):
-      R[0,2] =  sin(b)
-      a = atan2(-R[1,2], R[2,2]),  c = atan2(-R[0,1], R[0,0])
+    For R = Rz(c) Ry(b) Rx(a):
+      R[2,0] = -sin(b)
+      a = atan2(R[2,1], R[2,2]),  c = atan2(R[1,0], R[0,0])
     """
     if convention != "XYZ":
-        raise NotImplementedError("only intrinsic XYZ is used by this framework")
+        raise NotImplementedError("only 'XYZ' (scipy extrinsic xyz) is used")
     R = jnp.asarray(R)
-    b = jnp.arcsin(jnp.clip(R[..., 0, 2], -1.0, 1.0))
-    a = jnp.arctan2(-R[..., 1, 2], R[..., 2, 2])
-    c = jnp.arctan2(-R[..., 0, 1], R[..., 0, 0])
+    b = jnp.arcsin(jnp.clip(-R[..., 2, 0], -1.0, 1.0))
+    a = jnp.arctan2(R[..., 2, 1], R[..., 2, 2])
+    c = jnp.arctan2(R[..., 1, 0], R[..., 0, 0])
     return jnp.stack([a, b, c], axis=-1)
 
 

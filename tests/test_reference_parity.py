@@ -197,3 +197,79 @@ class TestBarrierParity:
             ref_g = ref_b.dbarr(torch.tensor(x)).numpy()
             got_g = np.asarray(our_b.dbarr(jnp.array(x)))
             np.testing.assert_allclose(got_g, ref_g, rtol=1e-4, atol=1e-5)
+
+
+class TestRotationParity:
+    """The reference deliberately flips pytorch3d's Euler product to scipy's
+    extrinsic order (rotations.py:96); these tests pin our convention to the
+    torch implementation itself, not just to scipy."""
+
+    def test_euler_angles_to_matrix(self, rng):
+        from control_torch.rotations import euler_angles_to_matrix as ref_e2m
+        from ealv_tpu.utils import rotations as rot
+
+        angles = rng.uniform(-1.4, 1.4, (30, 3)).astype(np.float32)
+        ref = ref_e2m(torch.tensor(angles), "XYZ").numpy()
+        got = np.asarray(rot.euler_angles_to_matrix(jnp.array(angles)))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_matrix_to_euler_angles(self, rng):
+        from control_torch.rotations import (
+            euler_angles_to_matrix as ref_e2m,
+            matrix_to_euler_angles as ref_m2e,
+        )
+        from ealv_tpu.utils import rotations as rot
+
+        angles = rng.uniform(-1.2, 1.2, (30, 3)).astype(np.float32)
+        R = ref_e2m(torch.tensor(angles), "XYZ")
+        ref = ref_m2e(R, "XYZ").numpy()
+        got = np.asarray(rot.matrix_to_euler_angles(jnp.array(R.numpy())))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_roll_env_trajectory(self, rng):
+        """10-step DoubleIntegratorRoll rollout vs the reference env
+        (dynamics.py:224-315): positions, SO(3)-integrated Euler angles, and
+        the carried rotation matrix must all track."""
+        from control_torch.dynamics import DoubleIntegratorRollEnv
+        from ealv_tpu.control.dynamics import make_dynamics
+
+        x0 = np.concatenate([
+            rng.uniform(-0.5, 0.5, 3),      # xyz
+            rng.uniform(-0.8, 0.8, 3),      # rpw
+            rng.uniform(-0.2, 0.2, 6),      # velocities
+        ]).astype(np.float32)
+        us = rng.uniform(-0.3, 0.3, (10, 6)).astype(np.float32)
+
+        ref_env = DoubleIntegratorRollEnv(dt=0.1, x0=torch.tensor(x0),
+                                          states="xyzrpw")
+        ref_traj = []
+        for u in us:
+            ref_traj.append(ref_env.step(torch.tensor(u)).numpy().copy())
+
+        dyn = make_dynamics("xyzrpw", dt=0.1)
+        s = dyn.init(jnp.array(x0))
+        got_traj = []
+        for u in us:
+            s = dyn.step(s, jnp.array(u))
+            got_traj.append(np.asarray(s.x))
+        np.testing.assert_allclose(np.stack(got_traj), np.stack(ref_traj),
+                                   rtol=1e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(s.R), ref_env.R.numpy(),
+                                   rtol=1e-3, atol=2e-4)
+
+    def test_roll_env_linearization(self, rng):
+        from control_torch.dynamics import DoubleIntegratorRollEnv
+        from ealv_tpu.control.dynamics import make_dynamics
+
+        x0 = np.concatenate([
+            rng.uniform(-0.5, 0.5, 3), rng.uniform(-0.8, 0.8, 3),
+            rng.uniform(-0.2, 0.2, 6),
+        ]).astype(np.float32)
+        ref_env = DoubleIntegratorRollEnv(dt=0.1, x0=torch.tensor(x0),
+                                          states="xyzrpw")
+        dyn = make_dynamics("xyzrpw", dt=0.1)
+        s = dyn.init(jnp.array(x0))
+        u = torch.zeros(6)
+        ref_A = ref_env.fdx(ref_env.state, u).numpy()
+        got_A = np.asarray(dyn._A(s))
+        np.testing.assert_allclose(got_A, ref_A, rtol=1e-4, atol=1e-5)

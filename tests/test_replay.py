@@ -55,6 +55,22 @@ class TestReplayBuffer:
         # reference ramp: slot weight max(i, n/2); slots >=50 get ~2x more
         assert counts[75:].mean() > counts[:25].mean() * 1.3
 
+    def test_weighted_sampling_prefers_recent_after_wrap(self):
+        # After the ring wraps, the newest pushes live at slots < pos; the
+        # recency ramp must follow push age, not slot index
+        # (vae_buffer.py:318 weights chronological order).
+        buf = _mk(capacity=100)
+        for i in range(150):  # slots 0..49 now hold pushes 100..149 (newest)
+            buf = buf.push(jnp.full(2, float(i)), jnp.zeros((4, 4, 3)))
+        assert int(buf.pos) == 50
+        counts = np.zeros(100)
+        for s in range(200):
+            idx = np.asarray(buf.sample_indices(jax.random.PRNGKey(s), 10, weighted=True))
+            counts[idx] += 1
+        newest = counts[25:50].mean()   # pushes 125..149 (rank 75..99)
+        oldest = counts[50:75].mean()   # pushes 50..74 (rank 0..24, clamped n/2)
+        assert newest > oldest * 1.3
+
     def test_hyperparam_ring(self):
         buf = _mk()
         buf = buf.update_hyperparams(3, 0.01, 0.5)

@@ -49,11 +49,13 @@ class TestRotations:
         back = rot.matrix_to_euler_angles(R)
         np.testing.assert_allclose(back, angles, rtol=1e-4, atol=1e-5)
 
-    def test_matches_scipy_intrinsic_xyz(self, rng):
+    def test_matches_scipy_extrinsic_xyz(self, rng):
+        # the reference flips pytorch3d's product order to match scipy's
+        # extrinsic from_euler('xyz') (rotations.py:96, dynamics.py:312)
         scipy_rot = pytest.importorskip("scipy.spatial.transform").Rotation
         angles = rng.uniform(-1.2, 1.2, size=(20, 3))
         ours = np.asarray(rot.euler_angles_to_matrix(angles.astype(np.float32)))
-        ref = scipy_rot.from_euler("XYZ", angles).as_matrix()
+        ref = scipy_rot.from_euler("xyz", angles).as_matrix()
         np.testing.assert_allclose(ours, ref, atol=1e-5)
 
     def test_hat_unhat(self, rng):

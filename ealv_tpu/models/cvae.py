@@ -209,15 +209,19 @@ class CVAE(nn.Module):
 
         Output head layout matches split_y_out (vae_force.py:156-164):
         [y_logvar | force_pred | img_feat], with force sharing the image
-        logvar ("combo var")."""
+        logvar ("combo var"). ``feat`` stays in the compute dtype (it feeds
+        the conv decoder, which computes in it anyway); only the small
+        logvar/force heads are upcast — the training-path image tensors are
+        the SGD step's dominant HBM traffic, so no f32 copies of them are
+        ever materialized."""
         h = jnp.concatenate([z, x], axis=1).astype(self.compute_dtype)
         for fc in self.dec_mlp:
             h = nn.relu(fc(h))
-        out = self.dec_out(h).astype(jnp.float32)
+        out = self.dec_out(h)
         v = self.y_logvar_dim
-        y_logvar = jnp.clip(out[:, :v], *LOGVAR_LIMS)
+        y_logvar = jnp.clip(out[:, :v].astype(jnp.float32), *LOGVAR_LIMS)
         if self.learn_force:
-            force_pred = out[:, v : v + 1]
+            force_pred = out[:, v : v + 1].astype(jnp.float32)
             feat = out[:, v + 1 :]
         else:
             force_pred = jnp.zeros((out.shape[0], 1), jnp.float32)
@@ -249,7 +253,10 @@ class CVAE(nn.Module):
             feat_all, y_logvar_all, force_all = self.decode_fn(
                 jnp.concatenate([z, z], 0), jnp.concatenate([x_dec, x_decode], 0)
             )
-            img_all = self.img_decode(feat_all).astype(jnp.float32)
+            # image predictions stay in the compute dtype (bf16 by default):
+            # the loss upcasts elementwise inside its fused reduce, so no f32
+            # copy of the (2B, H, W, C) tensor ever hits HBM
+            img_all = self.img_decode(feat_all)
             out = dict(
                 img_pred=img_all[:b],
                 img_logvar=y_logvar_all[:b],
@@ -265,7 +272,7 @@ class CVAE(nn.Module):
             )
             return out
         feat, y_logvar, force_pred = self.decode_fn(z, x_dec)
-        img_pred = self.img_decode(feat).astype(jnp.float32)
+        img_pred = self.img_decode(feat)
         return dict(
             img_pred=img_pred,
             img_logvar=y_logvar,  # (B, y_logvar_dim); broadcast in the loss

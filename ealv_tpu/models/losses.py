@@ -18,10 +18,16 @@ _LOG_SQRT_2PI = math.log(math.sqrt(2.0 * math.pi))
 
 
 def gaussian_nll(y, y_pred, y_logvar):
-    """-mean log N(y | y_pred, exp(y_logvar)^2), y_logvar broadcast to y."""
+    """-mean log N(y | y_pred, exp(y_logvar)^2), y_logvar broadcast to y.
+
+    ``y_pred`` may arrive in the model's compute dtype (bf16): the upcast
+    happens elementwise inside this fused reduce, so the accumulation is
+    f32 without a materialized f32 copy of the prediction."""
     y_logvar = jnp.broadcast_to(
         y_logvar.reshape(y_logvar.shape[0], *([1] * (y.ndim - 2)), -1), y.shape
     ) if y_logvar.ndim != y.ndim else y_logvar
+    y_pred = y_pred.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     var = jnp.exp(y_logvar) ** 2
     log_prob = -jnp.square(y - y_pred) / (2.0 * var) - y_logvar - _LOG_SQRT_2PI
     return -jnp.mean(log_prob)

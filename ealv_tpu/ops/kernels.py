@@ -62,13 +62,41 @@ def psi_matrix(samples, traj, std, traj_mask=None):
     return psi
 
 
+# Minimum N*T where the fused Pallas kernel beats XLA's dot+exp+reduce
+# (measured on v5e at 2000x3000: 0.153 ms vs 0.210 ms — the XLA form
+# materializes the (N, T) f32 intermediate in HBM, the Pallas kernel tiles
+# it through VMEM; below this size the intermediate fits cache-like reuse
+# and kernel launch overhead dominates).
+_PALLAS_MIN_ELEMS = 512 * 512
+
+
+def _use_pallas(samples, traj_explr) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and samples.shape[0] * traj_explr.shape[0] >= _PALLAS_MIN_ELEMS
+        and samples.dtype == jnp.float32
+    )
+
+
+def _pallas_footprint_spread(samples, traj_explr, std, traj_mask):
+    from .pallas_kernels import footprint_and_spread
+
+    mask = (jnp.ones(traj_explr.shape[0], jnp.float32)
+            if traj_mask is None else traj_mask.astype(jnp.float32))
+    return footprint_and_spread(samples, traj_explr, std, mask)
+
+
 def traj_footprint(traj, samples, explr_idx, std, nu=1.0, traj_mask=None):
     """Time-summed trajectory footprint q(s) = sum_t psi(s, x_t) / nu.
 
     Parity: traj_footprint_vec (klerg_utils.py:17-22). ``explr_idx`` selects
-    the exploration coordinates out of the full state rows.
+    the exploration coordinates out of the full state rows. Large (N, T)
+    problems dispatch to the fused Pallas kernel on TPU.
     """
     traj_explr = traj[:, explr_idx]
+    if _use_pallas(samples, traj_explr):
+        fsum, _ = _pallas_footprint_spread(samples, traj_explr, std, traj_mask)
+        return fsum / nu
     psi = psi_matrix(samples, traj_explr, std, traj_mask)
     return jnp.sum(psi, axis=1) / nu
 
@@ -80,6 +108,9 @@ def traj_spread(traj, samples, explr_idx, std, nu=1.0, traj_mask=None):
     matching "never visited".
     """
     traj_explr = traj[:, explr_idx]
+    if _use_pallas(samples, traj_explr):
+        _, fmax = _pallas_footprint_spread(samples, traj_explr, std, traj_mask)
+        return fmax / nu
     psi = psi_matrix(samples, traj_explr, std, traj_mask)
     return jnp.max(psi, axis=1) / nu
 

@@ -217,24 +217,31 @@ class Experiment:
         )
 
     # ------------------------------------------------------------------
-    def _measured_robot_state(self, env: EnvState):
+    def _robot_state_from_obs(self, pose6, vel6, brightness):
         """(pose, vel) tray -> robot coords over the explored states,
-        stacked double-integrator style (SensorMain.step :125-127,:188-189)."""
-        pose_e = env.pose[self.pose_sel]
-        vel_e = env.vel[self.pose_sel]
+        stacked double-integrator style (SensorMain.step :125-127,:188-189).
+        Works for both the in-device env and host-side RobotBridge obs."""
+        pose_e = pose6[self.pose_sel]
+        vel_e = vel6[self.pose_sel]
         if self.b_pos >= 0:
-            pose_e = jnp.insert(pose_e, self.b_pos, env.brightness)
+            pose_e = jnp.insert(pose_e, self.b_pos, brightness)
             vel_e = jnp.insert(vel_e, self.b_pos, 0.0)
         full = jnp.concatenate([pose_e, vel_e])
         return ws_conversion(full, self.tray_full_lim, self.robot_full_lim)
 
-    def tick(self, es: ExperimentState):
-        """One exploration step + throttled learning. Pure; jit/scan me."""
-        cfg = self.cfg
-        key, k_train, k_hp = jax.random.split(es.key, 3)
+    def _measured_robot_state(self, env: EnvState):
+        return self._robot_state_from_obs(env.pose, env.vel, env.brightness)
 
-        # 1-2. sync to measured state + plan (or baseline step)
-        full_state = self._measured_robot_state(es.env)
+    def plan_step(self, es: ExperimentState, full_state):
+        """Steps 1-3 of the tick sans environment: sync the planner to the
+        measured state, plan (or baseline-step), and convert the predicted
+        velocity to a tray-frame 6-twist command.
+
+        Returns (pstate, vel6 tray twist, b_cmd or None, info). Pure and
+        jittable on its own — the seam the host-in-the-loop runtime
+        (runtime/host_loop.py) uses to drive a RobotBridge instead of the
+        fused in-device env."""
+        cfg = self.cfg
         m = self.dyn.num_actions
         if self.use_baseline:
             pstate = self.baseline.save_update(es.pstate, full_state, save=True)
@@ -253,10 +260,10 @@ class Experiment:
             dyn_pred_x = dyn_pred.x
             vel_pred_r = dyn_pred.x[m:]
 
-        # 3. command the environment (use_vel path :142-147).
-        # vel_pred_r is (m,) over the position states (runtime exploration
-        # strings are lowercase, e.g. 'xyw'; vel-state exploration like
-        # 'xyXY' is a planner-level feature exercised in the demo/tests).
+        # command conversion (use_vel path :142-147). vel_pred_r is (m,)
+        # over the position states (runtime exploration strings are
+        # lowercase, e.g. 'xyw'; vel-state exploration like 'xyXY' is a
+        # planner-level feature exercised in the demo/tests).
         vel_tray = ws_conversion(vel_pred_r, self.robot_ctrl_lim, self.tray_ctrl_lim)
         vel_tray = jnp.clip(vel_tray, self.tray_ctrl_lim[:, 0], self.tray_ctrl_lim[:, 1])
         vel6 = jnp.zeros(6).at[self.pose_sel].set(
@@ -267,16 +274,38 @@ class Experiment:
         if self.b_pos >= 0:
             tray_pos = ws_conversion(dyn_pred_x[:m], self.robot_lim, self.tray_lim)
             b_cmd = tray_pos[self.b_pos]
+        return pstate, vel6, b_cmd, info
+
+    def tick(self, es: ExperimentState):
+        """One exploration step + throttled learning. Pure; jit/scan me."""
+        cfg = self.cfg
+
+        # 1-3. sync to measured state + plan + command conversion
+        full_state = self._measured_robot_state(es.env)
+        pstate, vel6, b_cmd, info = self.plan_step(es, full_state)
         env = es.env
         for _ in range(cfg.data_to_ctrl_rate):
             env = self.env.step_vel(env, vel6, b_cmd)
 
-        # 4. sense + push (:186-215); intensity mode collapses RGB to one
-        # channel (process_image_msg parity, sensor_utils.py:284-297)
+        # 4. sense (:186-215)
         pose, vel, force, img = self.env.observe(env)
-        if cfg.image_dim[2] == 1:
-            img = jnp.mean(img, axis=-1, keepdims=True)
         robot_state = self._measured_robot_state(env)[: cfg.s_dim]
+        es, tick_info = self.absorb_step(es, pstate, info, robot_state, img, force)
+        return es._replace(env=env), tick_info
+
+    def absorb_step(self, es: ExperimentState, pstate, info, robot_state,
+                    img, force):
+        """Steps 4b-7 of the tick: push the synced sample, reseed the target
+        distribution, update hyperparameters, and run throttled learning.
+        ``robot_state`` is the (s_dim,) measured pose in robot coords;
+        ``img``/``force`` the synced sensor sample. Pure and jittable."""
+        cfg = self.cfg
+        key, k_train, k_hp = jax.random.split(es.key, 3)
+
+        # intensity mode collapses RGB to one channel (process_image_msg
+        # parity, sensor_utils.py:284-297)
+        if cfg.image_dim[2] == 1 and img.shape[-1] != 1:
+            img = jnp.mean(img, axis=-1, keepdims=True)
         buf = es.buf.push(robot_state, img, force)
 
         # 5. reseed the target distribution (post_train_mp :251-267)
@@ -361,7 +390,7 @@ class Experiment:
 
         es = ExperimentState(
             params=params, opt_state=opt_state, mstate=mstate, pstate=pstate,
-            buf=buf, env=env, hyper=hyper, key=key,
+            buf=buf, env=es.env, hyper=hyper, key=key,
             explr_step=es.explr_step + 1, learning_ind=learning_ind,
         )
         tick_info = {

@@ -1,0 +1,206 @@
+"""Host-in-the-loop experiment runtime — the robustness layer, wired.
+
+Parity targets:
+  - service-exception -> pause + recovery (sensor_main_module.py:153-166),
+  - stuck-pose detection + force-direction escape command
+    (sensor_utils.check_cmd :444-457, vel_move_force_norm :460-476),
+  - goal-seek retry loop with joint reset + yaw-unstick
+    (sensor_utils.check_goal_pos :375-441),
+  - the random_listener auto-recovery heartbeat (scripts/random_listener:44-117),
+  - pause/resume/manual/save topic surface (sensor_utils :556-578) via
+    ControlPanel/ControlHooks.
+
+The fused device loop (Experiment.run_chunk) has no I/O to fail, so it needs
+none of this. This runtime drives the SAME jitted plan/absorb programs
+(Experiment.plan_step / absorb_step) but routes commands and sensing through
+a RobotBridge (synthetic sim, native C++ mux, or a real robot driver) — the
+deployment shape where commands can fail, robots wedge, and operators press
+pause. Every recovery event is logged to the MetricsLog.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .agent import Experiment, ExperimentState
+from .metrics import MetricsLog
+from .panel import ControlHooks
+from .watchdog import (
+    GoalSeeker,
+    GracefulKiller,
+    PauseManager,
+    RecoveryHeartbeat,
+    StuckDetector,
+)
+
+
+@dataclass
+class HostLoopRunner:
+    """Drive an Experiment through a RobotBridge with failure handling.
+
+    ``exp`` supplies the jitted plan/absorb halves; ``bridge`` the command/
+    observe surface. The watchdog objects are created with defaults when not
+    given, and are all exercised by ``step``/``run``:
+
+      * command failure or exception -> pause (+ log), heartbeat auto-recovers
+      * ||dpose|| < stuck tol        -> force-direction escape command (+ log)
+      * pause flag                   -> no motion commands until resume
+      * save request                 -> surfaced to the caller via callback
+    """
+
+    exp: Experiment
+    bridge: object
+    metrics: Optional[MetricsLog] = None
+    stuck: StuckDetector = field(default_factory=StuckDetector)
+    pause: Optional[PauseManager] = None
+    heartbeat: RecoveryHeartbeat = field(
+        default_factory=lambda: RecoveryHeartbeat(period_s=5.0, timeout_s=0.5)
+    )
+    seeker: GoalSeeker = field(default_factory=GoalSeeker)
+    killer: Optional[GracefulKiller] = None
+    save_fn: Optional[object] = None  # callable(es) on save requests
+    events: list = field(default_factory=list)
+
+    def __post_init__(self):
+        # share the bridge's pause manager so panel/bridge/watchdog agree
+        if self.pause is None:
+            self.pause = getattr(self.bridge, "pause", None) or PauseManager()
+        if self.metrics is None:
+            self.metrics = MetricsLog(None, echo=False)
+        self._plan = jax.jit(self.exp.plan_step)
+        self._absorb = jax.jit(self.exp.absorb_step)
+
+    # ------------------------------------------------------------------
+    def hooks(self) -> ControlHooks:
+        """ControlHooks for a ControlPanel driving this runner."""
+        return ControlHooks(
+            pause_mgr=self.pause,
+            reset_fn=self.bridge.reset,
+            recover_fn=self._recover,
+            switch_mode_fn=self.bridge.switch_controller,
+        )
+
+    def _log(self, kind: str, msg: str):
+        self.events.append(kind)
+        self.metrics.write_to_log(f"[{kind}] {msg}")
+
+    def _recover(self):
+        """Recovery escalation: clear controllers, re-level (random_listener
+        parity: ErrorRecoveryActionGoal + EE re-align)."""
+        self.bridge.reset()
+        self._log("recover", "bridge reset + controller re-arm")
+
+    # ------------------------------------------------------------------
+    def drive_to_start(self, goal_pose6, yaw_index: Optional[int] = None):
+        """Goal-seek retry loop to the start pose (check_goal_pos parity):
+        pose commands with retries, joint/controller reset at half budget,
+        yaw-unstick nudges. Returns (reached, final_pose)."""
+
+        def attempt(goal):
+            self.bridge.klerg_pose(np.asarray(goal))
+            return np.asarray(self.bridge.observe()[0])
+
+        ok, pos = self.seeker.seek(
+            np.asarray(goal_pose6), attempt, reset_fn=self._recover,
+            yaw_index=yaw_index,
+        )
+        if not ok:
+            self._log("goal_seek_failed",
+                      f"goal {np.round(np.asarray(goal_pose6), 3)} "
+                      f"reached {np.round(pos, 3)}")
+        return ok, pos
+
+    # ------------------------------------------------------------------
+    def step(self, es: ExperimentState) -> ExperimentState:
+        """One explore+learn step through the bridge with failure handling."""
+        cfg = self.exp.cfg
+
+        self.heartbeat.tick(self.pause, recover_fn=self._recover)
+        if self.pause.paused or self.pause.manual:
+            return es  # no motion while paused/manual (sensor_utils :556-578)
+
+        pose6, vel6, force, img = self.bridge.observe()
+        full_state = self._plan_state(pose6, vel6)
+        pstate, cmd_vel6, b_cmd, info = self._plan(es, full_state)
+
+        b = float(b_cmd) if b_cmd is not None else -1.0
+        try:
+            ok = self.bridge.klerg_cmd(np.asarray(cmd_vel6), b)
+        except Exception as e:  # service-exception parity (:153-166)
+            ok = False
+            self._log("cmd_error", repr(e))
+        if not ok:
+            self.pause.pause()
+            self._log("cmd_failed", "velocity command rejected; pausing")
+            return es
+
+        pose2, vel2, force2, img2 = self.bridge.observe()
+
+        # stuck detection + force-direction escape (check_cmd parity)
+        moved_ok, escape = self.stuck.check(pose2, force=self._escape_force(force2))
+        if not moved_ok:
+            if escape is not None:
+                esc6 = np.zeros(6)
+                esc6[:3] = escape[:3] if escape.shape[0] >= 3 else np.pad(
+                    escape, (0, 3 - escape.shape[0]))
+                try:
+                    self.bridge.klerg_cmd(esc6, -1.0)
+                except Exception as e:
+                    self._log("cmd_error", repr(e))
+                self._log("stuck_escape",
+                          f"pose {np.round(np.asarray(pose2)[:3], 4)} "
+                          f"escape {np.round(esc6[:3], 4)}")
+                pose2, vel2, force2, img2 = self.bridge.observe()
+            else:
+                self.bridge.reset()
+                self._log("stuck_reset", "no force reading; controller reset")
+
+        robot_state = np.asarray(self.exp._robot_state_from_obs(
+            jax.numpy.asarray(pose2), jax.numpy.asarray(vel2),
+            jax.numpy.asarray(self._brightness(pose2)),
+        ))[: cfg.s_dim]
+        es, tick_info = self._absorb(
+            es, pstate, info, jax.numpy.asarray(robot_state),
+            jax.numpy.asarray(img2), jax.numpy.asarray(force2).reshape(1),
+        )
+
+        if self.pause.consume_save() and self.save_fn is not None:
+            self.save_fn(es)
+            self._log("save", f"checkpoint at step {int(es.explr_step)}")
+        return es
+
+    def run(self, es: ExperimentState, n_steps: int) -> ExperimentState:
+        """Run n steps, honoring SIGINT/SIGTERM via GracefulKiller."""
+        killer = self.killer or GracefulKiller(install=False)
+        for _ in range(n_steps):
+            if killer.kill_now:
+                self._log("killed", "graceful shutdown requested")
+                break
+            es = self.step(es)
+        return es
+
+    # ------------------------------------------------------------------
+    def _plan_state(self, pose6, vel6):
+        return self.exp._robot_state_from_obs(
+            jax.numpy.asarray(pose6), jax.numpy.asarray(vel6),
+            jax.numpy.asarray(self._brightness(pose6)),
+        )
+
+    def _brightness(self, pose6):
+        st = getattr(self.bridge, "state", None)
+        if st is not None and hasattr(st, "brightness"):
+            return float(st.brightness)
+        return 1.0
+
+    @staticmethod
+    def _escape_force(force):
+        f = np.asarray(force, np.float64).ravel()
+        if f.size >= 3:
+            return f[:3]
+        # scalar force magnitude: no direction -> escape straight up
+        # (the pose-guard z lift of cartesian_pose_interface.cpp:138-147)
+        return np.array([0.0, 0.0, float(f[0]) if f.size else 0.0])

@@ -103,7 +103,10 @@ def train_call(
                 beta=beta, gamma=gamma, gamma_weight=statics.gamma_weight,
                 learn_force=model.learn_force, other_locs=statics.other_locs,
             )
-            return loss, (m, out)
+            # aux carries only the small latent tensors the diagnostics
+            # need — returning the full `out` dict would force the VJP to
+            # keep the (2B, H, W, C) image predictions alive in HBM
+            return loss, (m, {"z_mu": out["z_mu"], "z_logvar": out["z_logvar"]})
 
         (loss, (m, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         if grad_transform is not None:

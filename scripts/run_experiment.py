@@ -52,6 +52,15 @@ def main():
                          "(the reference's live clusterer; uncertainty "
                          "localizes objects best DURING training). Saves a "
                          "cluster checkpoint when clusters stabilize.")
+    ap.add_argument("--host-loop", action="store_true",
+                    help="drive the experiment through a RobotBridge with "
+                         "the full robustness layer (stuck escape, goal "
+                         "seeking, pause/recover heartbeat) instead of the "
+                         "fused on-device loop — the deployment shape for "
+                         "real-robot bridges")
+    ap.add_argument("--panel", action="store_true",
+                    help="attach the stdin control panel (pause/resume/save/"
+                         "mode/z/brightness commands) — host-loop mode only")
     args = ap.parse_args()
 
     from ealv_tpu.utils.config import ExperimentConfig
@@ -113,6 +122,41 @@ def main():
     import time
     t0 = time.time()
     remaining = max(0, args.steps - int(es.explr_step))
+
+    if args.host_loop:
+        from ealv_tpu.hw.bridge import SyntheticBridge
+        from ealv_tpu.runtime import HostLoopRunner
+        from ealv_tpu.runtime.watchdog import GracefulKiller
+
+        bridge = SyntheticBridge(exp.env, es.env)
+        runner = HostLoopRunner(
+            exp, bridge, ml, killer=GracefulKiller(),
+            save_fn=lambda s: save_checkpoint(
+                os.path.join(dirp, "checkpoints"), s, step=int(s.explr_step)),
+        )
+        if args.panel:
+            from ealv_tpu.runtime.panel import ControlPanel
+            ControlPanel(runner.hooks()).start()
+        # drive to the start pose with goal-seek retries before exploring
+        start6 = np.asarray(bridge.klerg_start_pose())
+        runner.drive_to_start(start6, yaw_index=5)
+        block = max(1, args.chunk)
+        for c in range(max(1, remaining // block)):
+            es = runner.run(es, block)
+            ml.progress(int(es.explr_step), int(es.learning_ind), float("nan"))
+            if runner.killer.kill_now:
+                break
+        wall = time.time() - t0
+        ml.write_to_log(
+            f"host-loop done: {int(es.explr_step)} steps in {wall:.0f}s "
+            f"({int(es.explr_step)/max(wall,1e-9):.2f} Hz); "
+            f"events: {runner.events or 'none'}")
+        ml.save()
+        save_checkpoint(os.path.join(dirp, "checkpoints"), es,
+                        step=int(es.explr_step))
+        print(f"run dir: {dirp}")
+        return
+
     n_chunks = max(1, remaining // args.chunk)
     for c in range(n_chunks):
         es, infos = run(es)

@@ -62,26 +62,40 @@ class SyntheticBridge(RobotBridge):
         self.env = env
         self.state = env_state
         self.pause = pause or PauseManager()
+        # eager per-step env math costs one dispatch round-trip per op over
+        # the TPU tunnel; jit collapses each service call to one program
+        import jax
+        self._step_vel = jax.jit(lambda s, v: env.step_vel(s, v))
+        self._step_vel_b = jax.jit(lambda s, v, b: env.step_vel(s, v, b))
+        self._step_pose = jax.jit(lambda s, p: env.step_pose(s, p))
+        self._step_pose_b = jax.jit(lambda s, p, b: env.step_pose(s, p, b))
+        self._observe = jax.jit(env.observe)
 
     def klerg_cmd(self, twist6, brightness: float = -1.0) -> bool:
         if self.pause.paused:
             return False
-        b = None if brightness < 0 else brightness
-        self.state = self.env.step_vel(self.state, np.asarray(twist6), b)
+        v = np.asarray(twist6, np.float32)
+        if brightness < 0:
+            self.state = self._step_vel(self.state, v)
+        else:
+            self.state = self._step_vel_b(self.state, v, brightness)
         return True
 
     def klerg_pose(self, pose6, brightness: float = -1.0) -> bool:
         if self.pause.paused:
             return False
-        b = None if brightness < 0 else brightness
-        self.state = self.env.step_pose(self.state, np.asarray(pose6), b)
+        p = np.asarray(pose6, np.float32)
+        if brightness < 0:
+            self.state = self._step_pose(self.state, p)
+        else:
+            self.state = self._step_pose_b(self.state, p, brightness)
         return True
 
     def klerg_start_pose(self):
         return np.asarray(self.state.pose)
 
     def observe(self):
-        pose, vel, force, img = self.env.observe(self.state)
+        pose, vel, force, img = self._observe(self.state)
         return (np.asarray(pose), np.asarray(vel), np.asarray(force),
                 np.asarray(img))
 

@@ -156,7 +156,12 @@ class Experiment:
         # environment over the full 6-dof tray box
         from ..utils.config import TRAY_LIM
         tray6 = tuple(TRAY_LIM[s] for s in "xyzrpw")
-        self.env = SyntheticEnv(tray_lim=tray6, dt=sim_dt, img_hw=cfg.image_dim[:2])
+        if cfg.sim_backend == "arm":
+            from ..sim.arm import ArmEnv
+            self.env = ArmEnv(tray_lim=tray6, dt=sim_dt, img_hw=cfg.image_dim[:2])
+        else:
+            self.env = SyntheticEnv(tray_lim=tray6, dt=sim_dt,
+                                    img_hw=cfg.image_dim[:2])
         self.scene = scene
 
         # limit boxes as arrays

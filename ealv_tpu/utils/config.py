@@ -77,6 +77,10 @@ class ExperimentConfig:
     use_vel: bool = True
     use_magnitude: bool = False
     explr_robot_lim_scale: float = 1.0
+    # simulator backend: 'free' = clipped free-flying pose integrator,
+    # 'arm' = joint-space 7-DOF kinematic arm (Jacobian-pinv vel control,
+    # DLS IK pose control, drift correction — sim/arm.py)
+    sim_backend: str = "free"
     # model (test_config.yaml:69-82)
     image_dim: Tuple[int, int, int] = (180, 180, 3)  # post-downsample H, W, C
     z_dim: int = 16

@@ -127,3 +127,70 @@ class TestNormalizers:
         out = np.asarray(cost_norm(d))
         np.testing.assert_allclose(out.sum(), 1.0, rtol=1e-6)
         assert not np.isnan(out).any()
+
+
+class TestPallasAdam:
+    """Fused Adam (ops/pallas_adam.py) must reproduce optax.adam exactly —
+    both the inline jnp path (used for small leaves / CPU) and the Pallas
+    kernel (interpret mode off-TPU)."""
+
+    def _setup(self, rng):
+        import optax
+        params = {
+            "w": jnp.array(rng.normal(size=(640, 128)).astype(np.float32)),
+            "b": jnp.array(rng.normal(size=(7,)).astype(np.float32)),
+        }
+        grads_seq = [
+            {
+                "w": jnp.array(rng.normal(size=(640, 128)).astype(np.float32)),
+                "b": jnp.array(rng.normal(size=(7,)).astype(np.float32)),
+            }
+            for _ in range(4)
+        ]
+        return optax, params, grads_seq
+
+    def test_inline_path_matches_optax(self, rng):
+        from ealv_tpu.ops.pallas_adam import adam_init, adam_apply
+        optax, params, grads_seq = self._setup(rng)
+        opt = optax.adam(3e-3)
+        po, oo = params, opt.init(params)
+        pp, sp = params, adam_init(params)
+        for g in grads_seq:
+            up, oo = opt.update(g, oo)
+            po = optax.apply_updates(po, up)
+            pp, sp = adam_apply(pp, sp, g, 3e-3, force_kernel=False)
+        for a, b in zip(jax.tree.leaves(po), jax.tree.leaves(pp)):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+    def test_kernel_matches_optax(self, rng):
+        from ealv_tpu.ops.pallas_adam import adam_update_flat
+        import optax
+        n = 640 * 128  # % 128 == 0, non-multiple of the block row count
+        p = jnp.array(rng.normal(size=n).astype(np.float32))
+        m = jnp.zeros(n)
+        v = jnp.zeros(n)
+        g = jnp.array(rng.normal(size=n).astype(np.float32))
+        interpret = jax.default_backend() != "tpu"
+        p2, m2, v2 = adam_update_flat(
+            p, m, v, g, jnp.float32(1e-3), jnp.int32(1), interpret=interpret
+        )
+        opt = optax.adam(1e-3)
+        oo = opt.init(p)
+        up, oo = opt.update(g, oo)
+        want = optax.apply_updates(p, up)
+        np.testing.assert_allclose(p2, want, rtol=1e-6, atol=1e-7)
+
+    def test_optax_wrapper(self, rng):
+        from ealv_tpu.ops.pallas_adam import pallas_adam
+        optax, params, grads_seq = self._setup(rng)
+        ref = optax.adam(1e-3)
+        ours = pallas_adam(1e-3)
+        po, oo = params, ref.init(params)
+        pp, op = params, ours.init(params)
+        for g in grads_seq[:2]:
+            up, oo = ref.update(g, oo)
+            po = optax.apply_updates(po, up)
+            up2, op = ours.update(g, op, pp)
+            pp = optax.apply_updates(pp, up2)
+        for a, b in zip(jax.tree.leaves(po), jax.tree.leaves(pp)):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

@@ -8,3 +8,4 @@ from .identify import (
     calibrate_thresholds,
 )
 from .io import save_fingerprint, load_fingerprints, save_beliefs, load_beliefs
+from .entropy import entropy_slice, entropy_slices

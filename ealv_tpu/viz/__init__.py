@@ -6,4 +6,6 @@ from .plotting import (
     MultiEvalPlotter,
     BeliefPlotter,
     plot_clusters,
+    plot_entropy_slices,
 )
+from .dashboard import LiveDashboard

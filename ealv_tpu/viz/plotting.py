@@ -225,6 +225,26 @@ class BeliefPlotter:
         return _save(fig, self.dir_path, name)
 
 
+def plot_entropy_slices(dir_path, slices, prefix: str = "entropy_dist"):
+    """Entropy-slice figures (parity: get_dists, fingerprint_builder.py:
+    404-417): one tricontourf of the marginal uncertainty field per
+    z-range variant. ``slices`` is the {name: (plot_samples, marginal)}
+    dict from fingerprint.entropy.entropy_slices. Returns saved paths."""
+    set_mpl_format()
+    paths = []
+    for name, (samples, dist) in slices.items():
+        fig, ax = plt.subplots(1, 1, figsize=(4, 4))
+        s = np.asarray(samples)
+        ax.tricontourf(s[:, 0], s[:, 1], np.asarray(dist), levels=30,
+                       cmap="gist_heat")
+        ax.set_aspect("equal", "box")
+        ax.set_xlabel("x")
+        ax.set_ylabel("y")
+        fig.tight_layout()
+        paths.append(_save(fig, dir_path, f"{prefix}_{name}.png"))
+    return paths
+
+
 def plot_clusters(dir_path, points, labels, means, samples=None, weights=None,
                   last_means=None, name: str = "clusters.png"):
     """Cluster figure (parity: clustering.draw_fig :526-573): labeled points

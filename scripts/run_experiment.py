@@ -61,6 +61,19 @@ def main():
     ap.add_argument("--panel", action="store_true",
                     help="attach the stdin control panel (pause/resume/save/"
                          "mode/z/brightness commands) — host-loop mode only")
+    ap.add_argument("--dash-every", type=int, default=0,
+                    help="refresh the live dashboard (dashboard.png / "
+                         ".html in the run dir) every N explr steps — the "
+                         "reference's streaming pyqtgraph Plotter, rendered "
+                         "between fused chunks")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of one steady-state "
+                         "chunk into {run_dir}/profile (open with xprof/"
+                         "tensorboard)")
+    ap.add_argument("--entropy-slices", action="store_true",
+                    help="after the run, render the get_dists entropy-slice "
+                         "figures (marginal uncertainty fields per z-range "
+                         "variant) into the run dir")
     args = ap.parse_args()
 
     from ealv_tpu.utils.config import ExperimentConfig
@@ -157,11 +170,24 @@ def main():
         print(f"run dir: {dirp}")
         return
 
+    dash = None
+    if args.dash_every > 0:
+        from ealv_tpu.viz import LiveDashboard
+        dash = LiveDashboard(exp, dirp)
+
     n_chunks = max(1, remaining // args.chunk)
     for c in range(n_chunks):
+        if args.profile and c == 1:  # steady state: past compile + warmup
+            jax.profiler.start_trace(os.path.join(dirp, "profile"))
         es, infos = run(es)
+        if args.profile and c == 1:
+            jax.block_until_ready(infos["loss"])
+            jax.profiler.stop_trace()
+            ml.write_to_log(f"profiler trace -> {dirp}/profile")
         ml.push_tick_info({k: infos[k] for k in
                            ("loss", "ergodic_cost", "beta", "gamma")})
+        if dash and (c + 1) * args.chunk % args.dash_every < args.chunk:
+            dash.render(es, ml.series, step=int(es.explr_step))
         losses = np.asarray(infos["loss"])
         losses = losses[losses != 0]  # skip-steps report zero metrics
         ml.progress(int(es.explr_step), int(es.learning_ind),
@@ -196,6 +222,18 @@ def main():
     pose, vel, force, img = exp.env.observe(es.env)
     ExplorationPlotter(dirp, robot_lim=cfg.robot_lim[:2]).render(
         image=np.asarray(img), step=int(es.explr_step), name="final_view.png")
+
+    if args.entropy_slices:
+        from ealv_tpu.fingerprint import entropy_slices
+        from ealv_tpu.viz import plot_entropy_slices
+        slices = entropy_slices(
+            exp.model, es.params, es.buf, jax.random.PRNGKey(args.seed),
+            cfg.robot_lim, cfg.states,
+            lim_scale=cfg.explr_robot_lim_scale if cfg.explr_robot_lim_scale > 1
+            else 1.15,
+        )
+        for p in plot_entropy_slices(dirp, slices):
+            ml.write_to_log(f"entropy slice -> {p}")
     print(f"run dir: {dirp}")
 
 

@@ -106,3 +106,124 @@ class FingerprintTestRuntime:
         the format capture_fingerprint_belief.py consumes."""
         from .io import save_beliefs
         return save_beliefs(path, self.beliefs, names)
+
+
+@dataclass
+class FingerprintMatrixRuntime:
+    """Every (dist_method x error_mode) combination evaluated in ONE
+    exploration run.
+
+    Parity target: the reference fans out one worker process per combo, all
+    fed the same observation stream through a shared FingerprintBufferTorch
+    ring, with ONE designated combo's belief adopted as the exploration
+    target (test_fingerprint_main.py:77-169, scripts/fingerprint_mp:216-240).
+    Here each combo is a belief-set pytree updated inline from the same
+    observation — no rings, no queues — and the adoption switch picks the
+    ``seek_combo``'s belief.
+    """
+
+    cfg: ExperimentConfig
+    model: object
+    params: object
+    fps: FingerprintSet
+    # (dist_method, error_mode) pairs; the reference's default worker set is
+    # the latent-distance methods plus one reconstruction-error worker
+    combos: tuple = (("L2", False), ("KL", False), ("BC", False), ("L2", True))
+    seek_combo: int = 0  # which combo's belief drives exploration
+    seek_fingerprint: int = 0
+    update_tdist_step: int = 50
+    scene: object = None
+    beliefs: dict = field(default_factory=dict)  # combo key -> [beliefs x K]
+    history: list = field(default_factory=list)
+
+    @staticmethod
+    def combo_key(method: str, error_mode: bool) -> str:
+        return f"{method}_error" if error_mode else method
+
+    def __post_init__(self):
+        from .identify import calibrate_thresholds
+
+        k = int(self.fps.center.shape[0])
+        for method, err in self.combos:
+            key = self.combo_key(method, err)
+            if key not in self.beliefs:
+                thresh, clip = calibrate_thresholds(self.fps, method)
+                self.beliefs[key] = [
+                    FingerprintBelief.create(self.cfg.states,
+                                             self.cfg.robot_lim,
+                                             thresh=thresh, clip=clip)
+                    for _ in range(k)
+                ]
+        self._ev = EvalExperiment(
+            self.cfg, lambda ctx, samples: ctx.pdf(samples), scene=self.scene
+        )
+
+    def run(self, n_steps: int, seed: int = 0, update_every: int = 1):
+        """One exploration; all combos' beliefs updated from every
+        observation. Returns (beliefs dict, history)."""
+        ev = self._ev.init(seed=seed)
+        tick = jax.jit(self._ev.tick)
+        seek_key = self.combo_key(*self.combos[self.seek_combo])
+        neutral = self.beliefs[seek_key][self.seek_fingerprint]
+        for step in range(n_steps):
+            target = (
+                self.beliefs[seek_key][self.seek_fingerprint]
+                if step >= self.update_tdist_step
+                else neutral.replace(
+                    prior=jnp.full_like(neutral.prior, 0.5),
+                    prior_var=jnp.full_like(neutral.prior_var, 2.0),
+                )
+            )
+            ev, obs = tick(ev, target)
+            if step % update_every == 0:
+                rec = {"step": step,
+                       "robot_state": np.asarray(obs["robot_state"])}
+                for method, err in self.combos:
+                    key = self.combo_key(method, err)
+                    self.beliefs[key], dists = update_beliefs(
+                        self.model, self.params, self.fps, self.beliefs[key],
+                        obs["robot_state"], obs["image"],
+                        states=self.cfg.states,
+                        robot_lim=self.cfg.robot_lim,
+                        tray_lim=self.cfg.tray_lim,
+                        dist_method=method, error_mode=err,
+                    )
+                    rec[key] = np.asarray(dists)
+                self.history.append(rec)
+        return self.beliefs, self.history
+
+    def belief_peaks(self, key: str):
+        peaks = []
+        for b in self.beliefs[key]:
+            idx = int(np.argmax(np.asarray(b.pdf_grid())))
+            peaks.append(np.asarray(b.grid)[idx])
+        return np.stack(peaks)
+
+    def results_table(self, truth=None, plot_idx=(0, 1)):
+        """Per-combo belief peaks (and localization error when ``truth``
+        rows are given) — the per-method summary the reference spreads over
+        per-worker save_results files."""
+        plot_idx = list(plot_idx)
+        table = {}
+        for method, err in self.combos:
+            key = self.combo_key(method, err)
+            peaks = self.belief_peaks(key)
+            row = {"peaks": peaks}
+            if truth is not None:
+                t = np.asarray(truth)[:, plot_idx]
+                row["error"] = np.linalg.norm(peaks[:, plot_idx] - t, axis=1)
+                row["mean_error"] = float(row["error"].mean())
+            table[key] = row
+        return table
+
+    def save(self, dir_path: str, names=None):
+        """One belief artifact per combo (per-worker save_results parity)."""
+        import os
+        from .io import save_beliefs
+        paths = {}
+        for method, err in self.combos:
+            key = self.combo_key(method, err)
+            paths[key] = save_beliefs(
+                os.path.join(dir_path, f"beliefs_{key}.npz"),
+                self.beliefs[key], names)
+        return paths

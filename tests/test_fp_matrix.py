@@ -1,0 +1,100 @@
+"""Fingerprint method matrix (fingerprint/test_runtime.py::
+FingerprintMatrixRuntime): every (dist_method x error_mode) combo evaluated
+from ONE exploration stream, with per-combo beliefs, results table, and
+artifacts (parity: test_fingerprint_main.py:77-169, fingerprint_mp:216-240).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ealv_tpu.utils.config import ExperimentConfig
+from ealv_tpu.models import CVAE
+from ealv_tpu.fingerprint.identify import FingerprintSet
+from ealv_tpu.fingerprint.test_runtime import FingerprintMatrixRuntime
+
+
+def tiny_cfg(**kw):
+    d = dict(
+        states="xyw",
+        image_dim=(24, 24, 3),
+        cnn_kernels=(3, 3), cnn_strides=(2, 2), cnn_channels=(8, 8),
+        hidden_dim=(64, 32), z_dim=8,
+        num_target_samples=128, num_traj_samples=64,
+        traj_buffer_capacity=256, buffer_capacity=256,
+        batch_size=8, num_learning_opt=2,
+    )
+    d.update(kw)
+    return ExperimentConfig(**d)
+
+
+@pytest.fixture(scope="module")
+def matrix_run():
+    cfg = tiny_cfg()
+    model = CVAE(img_dim=cfg.image_dim, z_dim=cfg.z_dim, s_dim=cfg.s_dim,
+                 hidden_dim=cfg.model_hidden(), cnn_kernels=cfg.cnn_kernels,
+                 cnn_strides=cfg.cnn_strides, cnn_channels=cfg.cnn_channels)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 3)), jnp.zeros((1, 24, 24, 3)),
+                        train=False)
+    dicts = []
+    for i in range(2):
+        s = 5 + i
+        dicts.append({
+            "z_mu": np.random.default_rng(i).standard_normal((s, 8)).astype(np.float32),
+            "z_var": np.full((s, 8), -1.0, np.float32),
+            "x": np.random.default_rng(10 + i).uniform(-1, 1, (s, 3)).astype(np.float32),
+            "center": np.array([0.3 * i, -0.3 * i, 0.0], np.float32),
+            "center_img": np.zeros((24, 24, 3), np.float32),
+        })
+    fps = FingerprintSet.from_lists(dicts)
+    rt = FingerprintMatrixRuntime(
+        cfg, model, params, fps,
+        combos=(("L2", False), ("KL", False), ("L2", True)),
+        update_tdist_step=4,
+    )
+    beliefs, history = rt.run(n_steps=8, seed=0)
+    return rt, beliefs, history
+
+
+class TestMatrixRuntime:
+    def test_all_combos_updated(self, matrix_run):
+        rt, beliefs, history = matrix_run
+        assert set(beliefs) == {"L2", "KL", "L2_error"}
+        for key, bels in beliefs.items():
+            assert len(bels) == 2  # one belief per fingerprint
+            for b in bels:
+                grid = np.asarray(b.pdf_grid())
+                assert np.isfinite(grid).all()
+
+    def test_history_records_every_combo(self, matrix_run):
+        rt, beliefs, history = matrix_run
+        assert len(history) == 8
+        for rec in history:
+            for key in ("L2", "KL", "L2_error"):
+                assert rec[key].shape == (2,)
+                assert np.isfinite(rec[key]).all()
+        # different methods actually produce different distances
+        l2 = np.stack([r["L2"] for r in history])
+        kl = np.stack([r["KL"] for r in history])
+        assert not np.allclose(l2, kl)
+
+    def test_results_table(self, matrix_run):
+        rt, beliefs, history = matrix_run
+        truth = np.array([[0.3, 0.3, 0.0], [-0.3, -0.3, 0.0]], np.float32)
+        table = rt.results_table(truth=truth)
+        assert set(table) == {"L2", "KL", "L2_error"}
+        for key, row in table.items():
+            assert row["peaks"].shape[0] == 2
+            assert row["error"].shape == (2,)
+            assert np.isfinite(row["mean_error"])
+
+    def test_save_per_combo_artifacts(self, matrix_run, tmp_path):
+        rt, beliefs, history = matrix_run
+        paths = rt.save(str(tmp_path))
+        assert set(paths) == {"L2", "KL", "L2_error"}
+        for p in paths.values():
+            assert os.path.exists(p) and os.path.getsize(p) > 0

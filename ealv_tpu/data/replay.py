@@ -45,12 +45,15 @@ class ReplayBuffer(NamedTuple):
     # ---------- constructors ----------
     @classmethod
     def create(cls, capacity: int, s_dim: int, img_dim, beta_capacity: int = 25,
-               learn_force: bool = True):
+               learn_force: bool = True, img_dtype=jnp.float32):
+        """``img_dtype=bfloat16`` halves the image ring's HBM footprint and
+        the per-step gather traffic; camera images are 8-bit at the source,
+        so bf16's 8 mantissa bits lose <0.4% — pose/force/weights stay f32."""
         h, w, c = img_dim
         zero = jnp.zeros((), jnp.int32)
         return cls(
             x=jnp.zeros((capacity, s_dim), jnp.float32),
-            y=jnp.zeros((capacity, h, w, c), jnp.float32),
+            y=jnp.zeros((capacity, h, w, c), img_dtype),
             force=jnp.zeros((capacity, 1), jnp.float32),
             y_var=jnp.zeros((capacity,), jnp.float32),
             pos=zero,
@@ -77,7 +80,7 @@ class ReplayBuffer(NamedTuple):
         f = force if force is not None else jnp.zeros(1, jnp.float32)
         return self._replace(
             x=self.x.at[i].set(x),
-            y=self.y.at[i].set(y),
+            y=self.y.at[i].set(y.astype(self.y.dtype)),
             force=self.force.at[i].set(f),
             y_var=self.y_var.at[i].set(jnp.var(y)),
             pos=(i + 1) % cap,

@@ -135,26 +135,30 @@ def extract_modes(shifted, bandwidth: float, min_count: int = 10):
     small). Points whose mode attracts < min_count members get label -1
     (parity: MeanShift(cluster_all=False, min_bin_freq=10))."""
     pts = np.asarray(shifted)
-    centers: list[np.ndarray] = []
-    labels = np.full(pts.shape[0], -1, np.int64)
-    for i, p in enumerate(pts):
-        for j, c in enumerate(centers):
-            if np.linalg.norm(p - c) < bandwidth / 2:
-                labels[i] = j
-                break
-        else:
-            centers.append(p.copy())
-            labels[i] = len(centers) - 1
-    centers_arr = np.array(centers) if centers else np.zeros((0, pts.shape[1]))
+    n = pts.shape[0]
+    # leader pass over a precomputed distance matrix: each point joins the
+    # earliest center within bandwidth/2, else opens a new one. The O(n^2)
+    # matrix is one vector op; the sequential pass is O(n) cheap lookups
+    # (round 1 called np.linalg.norm per (point, center) pair).
+    d2 = np.sum((pts[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+    close = d2 < (bandwidth / 2) ** 2
+    center_idx: list[int] = []
+    labels = np.full(n, -1, np.int64)
+    for i in range(n):
+        if center_idx:
+            hits = np.nonzero(close[i, center_idx])[0]
+            if hits.size:
+                labels[i] = hits[0]
+                continue
+        center_idx.append(i)
+        labels[i] = len(center_idx) - 1
     # refine centers to member means; drop small clusters
-    keep, means = [], []
-    for j in range(len(centers)):
-        members = labels == j
-        if members.sum() >= min_count:
-            keep.append(j)
-            means.append(pts[members].mean(0))
-    relabel = {j: k for k, j in enumerate(keep)}
-    labels = np.array([relabel.get(l, -1) for l in labels])
+    counts = np.bincount(labels, minlength=len(center_idx))
+    keep = np.nonzero(counts >= min_count)[0]
+    means = [pts[labels == j].mean(0) for j in keep]
+    relabel = np.full(len(center_idx), -1, np.int64)
+    relabel[keep] = np.arange(len(keep))
+    labels = np.where(labels >= 0, relabel[labels], -1)
     return (np.array(means) if means else np.zeros((0, pts.shape[1]))), labels
 
 

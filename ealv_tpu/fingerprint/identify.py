@@ -82,29 +82,34 @@ def calibrate_thresholds(fps: FingerprintSet, method: str = "L2"):
     fingerprint_module.py:242-260,154-161): thresh = MIN cross-fingerprint
     latent distance (a match must beat the closest two objects ever get),
     clip = 2x the MAX. Returns (thresh, clip) floats.
+
+    One device program over the full (K*S)^2 pairwise matrix — the
+    reference's per-pair host loop (and round 1's O(K^2) port of it with a
+    device pull per pair) becomes a single masked reduction.
     """
     k, s, z = fps.z_mu.shape
-    mins, maxs = [], []
-    for a in range(k):
-        for b in range(a + 1, k):
-            na = int(fps.mask[a].sum())
-            nb = int(fps.mask[b].sum())
-            mu1 = jnp.repeat(fps.z_mu[a, :na], nb, axis=0)
-            lv1 = jnp.repeat(fps.z_logvar[a, :na], nb, axis=0)
-            mu2 = jnp.tile(fps.z_mu[b, :nb], (na, 1))
-            lv2 = jnp.tile(fps.z_logvar[b, :nb], (na, 1))
-            d = latent_distance(method, mu1, lv1, mu2, lv2)
-            mins.append(float(jnp.min(d)))
-            maxs.append(float(jnp.max(d)))
-    if not mins:  # single fingerprint: fall back to within-fp stats
-        na = int(fps.mask[0].sum())
-        mu = fps.z_mu[0, :na]
-        lv = fps.z_logvar[0, :na]
-        d = latent_distance(method, jnp.repeat(mu, na, 0), jnp.repeat(lv, na, 0),
-                            jnp.tile(mu, (na, 1)), jnp.tile(lv, (na, 1)))
-        d = d[d > 0]
-        return float(jnp.mean(d)), float(jnp.max(d)) * 2.0
-    return min(mins), max(maxs) * 2.0
+    A = k * s
+    mu = fps.z_mu.reshape(A, z)
+    lv = fps.z_logvar.reshape(A, z)
+    d = latent_distance(
+        method,
+        jnp.repeat(mu, A, axis=0), jnp.repeat(lv, A, axis=0),
+        jnp.tile(mu, (A, 1)), jnp.tile(lv, (A, 1)),
+    ).reshape(A, A)
+    valid = fps.mask.reshape(A) > 0
+    pair_ok = valid[:, None] & valid[None, :]
+    fpid = jnp.repeat(jnp.arange(k), s)
+    cross = (fpid[:, None] != fpid[None, :]) & pair_ok
+    if k > 1:
+        lo = float(jnp.min(jnp.where(cross, d, jnp.inf)))
+        hi = float(jnp.max(jnp.where(cross, d, -jnp.inf)))
+        return lo, hi * 2.0
+    # single fingerprint: fall back to within-fp stats over positive dists
+    within = pair_ok & (d > 0)
+    n = jnp.maximum(jnp.sum(within), 1)
+    mean = float(jnp.sum(jnp.where(within, d, 0.0)) / n)
+    hi = float(jnp.max(jnp.where(within, d, -jnp.inf)))
+    return mean, hi * 2.0
 
 
 def identify_step(model: CVAE, params, fps: FingerprintSet, test_x, test_y,

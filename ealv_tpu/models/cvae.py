@@ -343,7 +343,8 @@ def update_dist(model: CVAE, params, state: ModelState, x, y, force=None):
     return (
         state._replace(
             seed_x=x,
-            seed_y=y,
+            seed_y=y.astype(jnp.float32),  # bf16-ring images re-widened so
+            # ModelState keeps a stable pytree dtype across jit boundaries
             seed_force=force if force is not None else state.seed_force,
             z=z,
             z_buff=jnp.concatenate([z[None], state.z_buff[:-1]], 0),

@@ -99,6 +99,7 @@ class Experiment:
             learn_force=cfg.learn_force,
             dx=cfg.dx,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
+            decoder_mode=cfg.decoder_mode,
         )
 
         # planner over position states (double integrator appends vels)
@@ -211,7 +212,8 @@ class Experiment:
             )
         env = self.env.init(tray_center, scene=self.scene)
         buf = ReplayBuffer.create(
-            cfg.buffer_capacity, cfg.s_dim, cfg.image_dim, learn_force=True
+            cfg.buffer_capacity, cfg.s_dim, cfg.image_dim, learn_force=True,
+            img_dtype=jnp.dtype(cfg.compute_dtype),
         )
         return ExperimentState(
             params=params, opt_state=opt_state, mstate=mstate, pstate=pstate,

@@ -98,6 +98,10 @@ class ExperimentConfig:
     # conv/dense stacks on bf16 MXU passes — measured 34% faster per SGD
     # step with indistinguishable training curves on this model size
     compute_dtype: str = "bfloat16"
+    # image decoder family (models/cvae.py): 'conv_transpose' mirrors the
+    # reference ConvTranspose2d stack; 'subpixel' computes the same layer as
+    # a low-res conv + depth-to-space; 'resize_conv' is upsample+conv
+    decoder_mode: str = "conv_transpose"
     # trainer (test_config.yaml:83-104)
     model_lr: float = 1e-3
     batch_size: int = 64

@@ -126,3 +126,48 @@ class TestTrajMemory:
             mem = mem.push(jnp.full(2, float(i)))
         buf, mask = mem.get_all()
         np.testing.assert_allclose(mask, 1.0)
+
+
+class TestBf16ImageRing:
+    """bf16 image storage (replay.py create img_dtype): halves the ring's
+    HBM footprint and gather traffic; training quality must be unaffected
+    (camera images are 8-bit at the source; bf16 keeps ~8 mantissa bits)."""
+
+    def _train(self, img_dtype):
+        from ealv_tpu.data.replay import ReplayBuffer
+        from ealv_tpu.models import CVAE
+        from ealv_tpu.runtime.trainer import TrainerStatics, train_call
+        model = CVAE(img_dim=(16, 16, 3), z_dim=4, s_dim=2,
+                     hidden_dim=(32, 16), cnn_kernels=(3,), cnn_strides=(2,),
+                     cnn_channels=(4,))
+        key = jax.random.PRNGKey(0)
+        params = model.init({"params": key}, jnp.zeros((1, 2)),
+                            jnp.zeros((1, 16, 16, 3)), train=False)
+        buf = ReplayBuffer.create(32, 2, (16, 16, 3), img_dtype=img_dtype)
+        for i in range(20):
+            kk = jax.random.fold_in(key, i)
+            buf = buf.push(jax.random.uniform(kk, (2,)),
+                           jax.random.uniform(jax.random.fold_in(kk, 1),
+                                              (16, 16, 3)))
+        tr = TrainerStatics(model=model, batch_size=8, num_learning_opt=6)
+        opt_state = tr.make_optimizer().init(params)
+        params, opt_state, m = train_call(tr, params, opt_state, buf,
+                                          jax.random.fold_in(key, 99),
+                                          0.001, 0.1)
+        return np.asarray(m["loss"])
+
+    def test_dtype_stored(self):
+        from ealv_tpu.data.replay import ReplayBuffer
+        buf = ReplayBuffer.create(4, 2, (8, 8, 3), img_dtype=jnp.bfloat16)
+        buf = buf.push(jnp.zeros(2), jnp.full((8, 8, 3), 0.123456))
+        assert buf.y.dtype == jnp.bfloat16
+        assert buf.x.dtype == jnp.float32  # poses stay f32
+        # stored value is the bf16 rounding of the input
+        assert abs(float(buf.y[0, 0, 0, 0]) - 0.123456) < 1e-3
+
+    def test_training_quality_unaffected(self):
+        l32 = self._train(jnp.float32)
+        l16 = self._train(jnp.bfloat16)
+        # identical keys, identical data modulo bf16 rounding of the images:
+        # the loss trajectories must track closely
+        np.testing.assert_allclose(l16, l32, rtol=0.05, atol=0.05)

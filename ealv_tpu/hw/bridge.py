@@ -180,17 +180,177 @@ class NativeBridge(RobotBridge):
         )
 
 
-def serve_ros(bridge: RobotBridge):  # pragma: no cover - needs a ROS install
-    """Re-export a RobotBridge as the reference's actual ROS services.
-    Import-gated: raises a clear error when rospy is unavailable."""
-    try:
-        import rospy  # noqa: F401
+def _matrix_to_quat(R):
+    """Rotation matrix -> (x, y, z, w) quaternion (Shepperd's method)."""
+    R = np.asarray(R, np.float64)
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array([(R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+                         (R[1, 0] - R[0, 1]) / s, 0.25 * s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 0.0)) * 2
+    q = np.zeros(4)
+    q[i] = 0.25 * s
+    q[j] = (R[j, i] + R[i, j]) / s
+    q[k] = (R[k, i] + R[i, k]) / s
+    q[3] = (R[k, j] - R[j, k]) / s
+    return q
+
+
+def _quat_to_matrix(q):
+    """(x, y, z, w) quaternion -> rotation matrix."""
+    x, y, z, w = np.asarray(q, np.float64) / np.linalg.norm(q)
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+class RosBridgeServer:
+    """The reference's actual ROS surface over a RobotBridge
+    (franka_module.py:108-131): the `/klerg_cmd` (UpdateVel), `/klerg_pose`
+    (UpdateState), `/klerg_start_pose` (GetStartState) services; the
+    `/reset`, `/reset_joints`, `/pause`, `/resume` Empty topics; and the
+    `/ee_pose`, `/ee_vel`, `/ee_wrench` state publishers.
+
+    ``ros``/``srv``/``geom`` are the rospy module and message packages —
+    injectable so the full service logic is software-in-the-loop testable
+    without a ROS install (tests/test_host_loop.py); ``serve_ros`` resolves
+    the real ones.
+    """
+
+    def __init__(self, bridge: RobotBridge, ros, srv, geom,
+                 node_name: str = "ealv_bridge", rate_hz: float = 100.0):
+        from ..utils.rotations import euler_angles_to_matrix, matrix_to_euler_angles
+        self._e2m = lambda a: np.asarray(euler_angles_to_matrix(
+            np.asarray(a, np.float32), "XYZ"))
+        self._m2e = lambda R: np.asarray(matrix_to_euler_angles(
+            np.asarray(R, np.float32), "XYZ"))
+        self.bridge = bridge
+        self.ros = ros
+        self.srv = srv
+        self.geom = geom
+        self.rate_hz = rate_hz
+        ros.init_node(node_name)
+        self.services = [
+            ros.Service("/klerg_start_pose", srv.GetStartState, self.start_cb),
+            ros.Service("/klerg_cmd", srv.UpdateVel, self.vel_cb),
+            ros.Service("/klerg_pose", srv.UpdateState, self.pose_cb),
+        ]
+        self.subs = [
+            ros.Subscriber("/reset", srv.Empty, lambda _m: bridge.reset()),
+            ros.Subscriber("/reset_joints", srv.Empty, lambda _m: bridge.reset()),
+            ros.Subscriber("/pause", srv.Empty, self._pause_cb),
+            ros.Subscriber("/resume", srv.Empty, self._resume_cb),
+        ]
+        self.pose_pub = ros.Publisher("/ee_pose", geom.PoseStamped, queue_size=1)
+        self.vel_pub = ros.Publisher("/ee_vel", geom.TwistStamped, queue_size=1)
+        self.wrench_pub = ros.Publisher("/ee_wrench", geom.WrenchStamped,
+                                        queue_size=1)
+
+    # ---- message conversion (pose6 = xyz + extrinsic-XYZ euler) ----
+    def _pose_msg(self, pose6):
+        msg = self.geom.Pose()
+        msg.position.x, msg.position.y, msg.position.z = map(float, pose6[:3])
+        q = _matrix_to_quat(self._e2m(pose6[3:6]))
+        (msg.orientation.x, msg.orientation.y,
+         msg.orientation.z, msg.orientation.w) = map(float, q)
+        return msg
+
+    def _msg_pose6(self, msg):
+        q = [msg.orientation.x, msg.orientation.y, msg.orientation.z,
+             msg.orientation.w]
+        rpw = self._m2e(_quat_to_matrix(q))
+        return np.array([msg.position.x, msg.position.y, msg.position.z,
+                         *rpw], np.float32)
+
+    # ---- service callbacks (velCallback/poseCallback/startCallback,
+    # franka_module.py:261-347) ----
+    def vel_cb(self, req):
+        t = req.desired_vel
+        twist6 = np.array([t.linear.x, t.linear.y, t.linear.z,
+                           t.angular.x, t.angular.y, t.angular.z], np.float32)
+        ok = self.bridge.klerg_cmd(twist6, float(req.desired_brightness))
+        return self.srv.UpdateVelResponse(
+            self._pose_msg(self.bridge.klerg_start_pose()), bool(ok))
+
+    def pose_cb(self, req):
+        pose6 = self._msg_pose6(req.desired_pose)
+        ok = self.bridge.klerg_pose(pose6, float(req.desired_brightness))
+        return self.srv.UpdateStateResponse(
+            self._pose_msg(self.bridge.klerg_start_pose()), bool(ok))
+
+    def start_cb(self, _req):
+        return self.srv.GetStartStateResponse(
+            self._pose_msg(self.bridge.klerg_start_pose()), True)
+
+    def _pause_cb(self, _msg):
+        pause = getattr(self.bridge, "pause", None)
+        if pause is not None:
+            pause.pause()
+
+    def _resume_cb(self, _msg):
+        pause = getattr(self.bridge, "pause", None)
+        if pause is not None:
+            pause.resume()
+
+    # ---- state publishing (the 100 Hz pose/vel/wrench publishers) ----
+    def publish_once(self):
+        pose6, vel6, force, _img = self.bridge.observe()
+        ps = self.geom.PoseStamped()
+        ps.pose = self._pose_msg(pose6)
+        self.pose_pub.publish(ps)
+        tw = self.geom.TwistStamped()
+        (tw.twist.linear.x, tw.twist.linear.y, tw.twist.linear.z) = map(
+            float, vel6[:3])
+        (tw.twist.angular.x, tw.twist.angular.y, tw.twist.angular.z) = map(
+            float, vel6[3:6])
+        self.vel_pub.publish(tw)
+        wr = self.geom.WrenchStamped()
+        wr.wrench.force.z = float(np.ravel(force)[0])
+        self.wrench_pub.publish(wr)
+
+    def spin(self):  # pragma: no cover - needs a live roscore
+        rate = self.ros.Rate(self.rate_hz)
+        while not self.ros.is_shutdown():
+            self.publish_once()
+            rate.sleep()
+
+
+def serve_ros(bridge: RobotBridge, node_name: str = "ealv_bridge",
+              rate_hz: float = 100.0, spin: bool = True):
+    """Serve a RobotBridge as the reference's ROS services/topics.
+
+    Resolves rospy + the franka_test srv/geometry_msgs packages; the full
+    server logic lives in RosBridgeServer (SIL-tested with injected
+    stand-ins — only this resolution shim needs a real ROS install).
+    """
+    try:  # pragma: no cover - needs a ROS install
+        import rospy
+        import geometry_msgs.msg as geom
+        from franka_test import srv as fsrv
+        from std_msgs.msg import Empty
     except ImportError as e:
         raise ImportError(
-            "serve_ros needs a ROS environment (rospy); this deployment image "
-            "has none. Use SyntheticBridge/NativeBridge directly."
+            "serve_ros needs a ROS environment (rospy + franka_test msgs); "
+            "this image has none. RosBridgeServer holds the full service "
+            "logic and accepts injected ros/srv/geom modules."
         ) from e
-    raise NotImplementedError(
-        "ROS service wiring is deployment-specific; map klerg_cmd/klerg_pose/"
-        "klerg_start_pose onto rospy.Service handlers here."
-    )
+
+    class _Srv:  # pragma: no cover
+        GetStartState = fsrv.GetStartState
+        GetStartStateResponse = fsrv.GetStartStateResponse
+        UpdateVel = fsrv.UpdateVel
+        UpdateVelResponse = fsrv.UpdateVelResponse
+        UpdateState = fsrv.UpdateState
+        UpdateStateResponse = fsrv.UpdateStateResponse
+        Empty = Empty
+
+    server = RosBridgeServer(bridge, rospy, _Srv, geom,
+                             node_name=node_name, rate_hz=rate_hz)
+    if spin:  # pragma: no cover
+        server.spin()
+    return server

@@ -188,3 +188,143 @@ class TestHostLoop:
         panel.handle("mode pose")  # SyntheticBridge: no-op switch, no crash
         panel.handle("save")
         assert runner.pause.save_requested
+
+
+class _Attr:
+    """Auto-vivifying attribute bag for geometry messages."""
+    def __init__(self):
+        self.__dict__["_d"] = {}
+    def __getattr__(self, k):
+        d = self.__dict__["_d"]
+        if k not in d:
+            d[k] = _Attr()
+        return d[k]
+    def __setattr__(self, k, v):
+        self.__dict__["_d"][k] = v
+
+
+class _FakeGeom:
+    Pose = _Attr
+    PoseStamped = _Attr
+    TwistStamped = _Attr
+    WrenchStamped = _Attr
+
+
+class _FakeSrv:
+    class Empty:
+        pass
+    GetStartState = UpdateVel = UpdateState = object
+
+    class GetStartStateResponse:
+        def __init__(self, pose, ok):
+            self.start_pose, self.success = pose, ok
+
+    class UpdateVelResponse:
+        def __init__(self, pose, ok):
+            self.actual_pose, self.success = pose, ok
+
+    class UpdateStateResponse:
+        def __init__(self, pose, ok):
+            self.actual_pose, self.success = pose, ok
+
+
+class _FakeRos:
+    """Records services/subscribers/publishers like rospy would register."""
+    def __init__(self):
+        self.services = {}
+        self.subs = {}
+        self.published = []
+    def init_node(self, name):
+        self.node = name
+    def Service(self, name, typ, cb):
+        self.services[name] = cb
+        return (name, cb)
+    def Subscriber(self, name, typ, cb):
+        self.subs[name] = cb
+        return (name, cb)
+    def Publisher(self, topic, typ, queue_size=1):
+        ros = self
+        class _Pub:
+            def publish(self, msg, _t=topic):
+                ros.published.append((_t, msg))
+        return _Pub()
+
+
+class TestRosBridgeServer:
+    """Full ROS service surface (franka_module.py:108-131) SIL-tested with an
+    injected rospy stand-in — only serve_ros's import shim needs real ROS."""
+
+    @pytest.fixture(scope="class")
+    def server(self):
+        from ealv_tpu.hw.bridge import RosBridgeServer
+        exp = tiny_experiment()
+        bridge, _ = make_bridge(exp)
+        ros = _FakeRos()
+        srv = RosBridgeServer(bridge, ros, _FakeSrv, _FakeGeom)
+        return srv, ros, bridge
+
+    def test_services_and_topics_registered(self, server):
+        srv, ros, bridge = server
+        assert set(ros.services) == {"/klerg_start_pose", "/klerg_cmd",
+                                     "/klerg_pose"}
+        assert {"/reset", "/reset_joints", "/pause", "/resume"} <= set(ros.subs)
+
+    def test_vel_service_moves_robot(self, server):
+        srv, ros, bridge = server
+        p0 = bridge.klerg_start_pose().copy()
+        req = _Attr()
+        req.desired_vel.linear.x = 0.05
+        req.desired_vel.linear.y = 0.0
+        req.desired_vel.linear.z = 0.0
+        req.desired_vel.angular.x = 0.0
+        req.desired_vel.angular.y = 0.0
+        req.desired_vel.angular.z = 0.0
+        req.desired_brightness = -1.0
+        for _ in range(5):
+            resp = ros.services["/klerg_cmd"](req)
+        assert resp.success
+        assert bridge.klerg_start_pose()[0] > p0[0]
+        assert abs(resp.actual_pose.position.x
+                   - bridge.klerg_start_pose()[0]) < 1e-5
+
+    def test_pose_service_round_trips_orientation(self, server):
+        srv, ros, bridge = server
+        # target pose with roll ~ pi (tray convention) through the
+        # quaternion round-trip
+        target = np.array([0.5, 0.05, 0.3, np.pi - 0.2, 0.1, 0.4], np.float32)
+        req = _Attr()
+        req.desired_pose = srv._pose_msg(target)
+        req.desired_brightness = -1.0
+        back = srv._msg_pose6(req.desired_pose)
+        np.testing.assert_allclose(back, target, atol=1e-4)
+        for _ in range(40):
+            resp = ros.services["/klerg_pose"](req)
+        assert resp.success
+        np.testing.assert_allclose(bridge.klerg_start_pose()[:3],
+                                   target[:3], atol=5e-3)
+
+    def test_pause_topic_gates_commands(self, server):
+        srv, ros, bridge = server
+        ros.subs["/pause"](None)
+        req = _Attr()
+        for ax in ("x", "y", "z"):
+            setattr(req.desired_vel.linear, ax, 0.1)
+            setattr(req.desired_vel.angular, ax, 0.0)
+        req.desired_brightness = -1.0
+        resp = ros.services["/klerg_cmd"](req)
+        assert not resp.success
+        ros.subs["/resume"](None)
+        assert ros.services["/klerg_cmd"](req).success
+
+    def test_publish_once_emits_state(self, server):
+        srv, ros, bridge = server
+        n0 = len(ros.published)
+        srv.publish_once()
+        topics = [t for t, _ in ros.published[n0:]]
+        assert topics == ["/ee_pose", "/ee_vel", "/ee_wrench"]
+
+    def test_serve_ros_shim_gates_cleanly(self, server):
+        from ealv_tpu.hw.bridge import serve_ros
+        _, _, bridge = server
+        with pytest.raises(ImportError, match="ROS"):
+            serve_ros(bridge)

@@ -100,6 +100,42 @@ class SyntheticBridge(RobotBridge):
                 np.asarray(img))
 
 
+class StaleObservationError(RuntimeError):
+    """Raised when the camera frame is older than the lost-connection
+    threshold (parity: got_img=False on a >1 s-old stamp,
+    sensor_utils.py:486-489). The host loop treats it like a failed
+    service call: pause, let the recovery heartbeat resume."""
+
+
+class StampedCache:
+    """Small ring of (stamp, value) pairs with closest-stamp lookup — the
+    rospy message_filters.Cache getElemBeforeTime/getElemAfterTime
+    selection the reference uses to align pose/vel/force/brightness streams
+    to each camera frame (sensor_utils.py:322-358)."""
+
+    def __init__(self, maxlen: int = 64):
+        from collections import deque
+
+        self._buf = deque(maxlen=maxlen)
+        self._lock = threading.Lock()
+
+    def push(self, stamp: float, value):
+        with self._lock:
+            self._buf.append((float(stamp), value))
+
+    def latest(self):
+        with self._lock:
+            return self._buf[-1] if self._buf else (None, None)
+
+    def closest(self, t: float):
+        """(stamp, value) of the cached element nearest ``t`` — the
+        before/after pair collapses to a min over the ring."""
+        with self._lock:
+            if not self._buf:
+                return None, None
+            return min(self._buf, key=lambda sv: abs(sv[0] - t))
+
+
 @dataclass
 class NativeBridge(RobotBridge):
     """Back the service surface with the native controller mux running a
@@ -107,8 +143,11 @@ class NativeBridge(RobotBridge):
 
     ``driver`` supplies the RT plant: ``driver.state() -> (pose6, vel6,
     wrench6)`` and ``driver.apply_velocity(twist6)`` /
-    ``driver.apply_pose(pose16)``. ``camera() -> image`` supplies frames.
-    The loop thread is the stand-in for franka_control's RT callback.
+    ``driver.apply_pose(pose16)``. ``camera() -> image | (image, stamp)``
+    supplies frames. The loop thread is the stand-in for franka_control's
+    RT callback; it stamps every state sample into caches so ``observe``
+    returns the pose/vel/wrench closest in time to the camera frame
+    (the reference's message-stamp alignment, sensor_utils.py:322-358).
     """
 
     driver: object
@@ -116,6 +155,8 @@ class NativeBridge(RobotBridge):
     dt: float = 1e-3
     cmd_dt: float = 0.1
     max_force: float = 30.0
+    max_img_age: float = 1.0  # lost-connection threshold (:486-489)
+    clock: Callable = time.monotonic
     pause: PauseManager = field(default_factory=PauseManager)
     _thread: Optional[threading.Thread] = None
     _running: bool = False
@@ -125,6 +166,7 @@ class NativeBridge(RobotBridge):
 
         self._ControlMode = ControlMode
         self.mux = NativeControllers(self.dt, self.cmd_dt, self.max_force)
+        self._state_cache = StampedCache()
 
     # ---- 1 kHz loop ----
     def start(self):
@@ -141,6 +183,7 @@ class NativeBridge(RobotBridge):
         CM = self._ControlMode
         while self._running:
             pose6, vel6, wrench6 = self.driver.state()
+            self._state_cache.push(self.clock(), (pose6, vel6, wrench6))
             self.mux.set_wrench(wrench6)
             if self.mux.mode == CM.VELOCITY:
                 self.driver.apply_velocity(self.mux.tick_velocity())
@@ -166,8 +209,26 @@ class NativeBridge(RobotBridge):
         return np.asarray(self.driver.state()[0])
 
     def observe(self):
-        pose6, vel6, wrench6 = self.driver.state()
-        img = self.camera() if self.camera else None
+        """Stamp-aligned (pose6, vel6, force, image): the state sample
+        closest in time to the camera frame; stale frames raise
+        StaleObservationError (got_img=False semantics)."""
+        now = self.clock()
+        img, img_stamp = None, now
+        if self.camera:
+            frame = self.camera()
+            if isinstance(frame, tuple):
+                img, img_stamp = frame
+            else:
+                img = frame
+        if img is not None and now - img_stamp > self.max_img_age:
+            raise StaleObservationError(
+                f"camera frame is {now - img_stamp:.2f}s old "
+                f"(threshold {self.max_img_age}s) — connection lost?"
+            )
+        stamp, state = self._state_cache.closest(img_stamp)
+        if state is None:  # loop not started yet: fall back to direct read
+            state = self.driver.state()
+        pose6, vel6, wrench6 = state
         force = np.linalg.norm(np.asarray(wrench6)[:3], keepdims=True)
         return np.asarray(pose6), np.asarray(vel6), force, img
 

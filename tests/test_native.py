@@ -184,3 +184,57 @@ class TestBridges:
             br.stop()
         assert pose[0] > 0  # the 1 kHz loop ramped the robot forward
         assert img is None  # no camera attached
+
+
+class TestStampAlignment:
+    """observe() aligns the state sample to the camera frame's stamp and
+    rejects stale frames (sensor_utils.py:322-358, :486-489)."""
+
+    def _bridge(self, camera=None, t0=100.0):
+        from ealv_tpu.hw import NativeBridge
+
+        class FakeDriver:
+            def state(self):
+                return np.zeros(6), np.zeros(6), np.zeros(6)
+            def apply_velocity(self, twist):
+                pass
+            def apply_pose(self, m):
+                pass
+            def pose_matrix(self):
+                return np.eye(4).reshape(16)
+
+        clock = {"t": t0}
+        br = NativeBridge(driver=FakeDriver(), camera=camera,
+                          clock=lambda: clock["t"])
+        return br, clock
+
+    def test_closest_stamp_selection(self):
+        from ealv_tpu.hw.bridge import StampedCache
+        br, clock = self._bridge(camera=lambda: (np.zeros((4, 4, 3)), 100.32))
+        # stamped stream: pose x encodes its own stamp
+        for t in (100.0, 100.1, 100.2, 100.3, 100.4, 100.5):
+            br._state_cache.push(t, (np.full(6, t), np.zeros(6), np.zeros(6)))
+        clock["t"] = 100.55
+        pose, vel, force, img = br.observe()
+        # frame stamped 100.32 -> the 100.3 sample, not the latest (100.5)
+        np.testing.assert_allclose(pose, np.full(6, 100.3))
+
+    def test_stale_frame_raises(self):
+        from ealv_tpu.hw.bridge import StaleObservationError
+        br, clock = self._bridge(camera=lambda: (np.zeros((4, 4, 3)), 100.0))
+        clock["t"] = 101.5  # frame is 1.5 s old > 1.0 s threshold
+        with pytest.raises(StaleObservationError):
+            br.observe()
+
+    def test_unstamped_camera_uses_now(self):
+        br, clock = self._bridge(camera=lambda: np.zeros((4, 4, 3)))
+        br._state_cache.push(100.0, (np.ones(6), np.zeros(6), np.zeros(6)))
+        clock["t"] = 100.05
+        pose, _, _, img = br.observe()
+        np.testing.assert_allclose(pose, np.ones(6))
+        assert img.shape == (4, 4, 3)
+
+    def test_cache_empty_falls_back_to_driver(self):
+        br, clock = self._bridge()
+        pose, vel, force, img = br.observe()
+        np.testing.assert_allclose(pose, np.zeros(6))

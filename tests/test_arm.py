@@ -174,3 +174,45 @@ class TestArmExperiment:
         pose = np.asarray(es.env.pose)
         assert np.isfinite(pose).all()
         assert abs(pose[0]) < 1.2
+
+
+class TestArmRobustnessIntegration:
+    """The arm exhibits the exact failure modes the robustness layer exists
+    for and the free-flying env cannot produce: out-of-reach goals fail to
+    converge (check_goal_pos retries + joint-reset escalation,
+    sensor_utils.py:375-441), and reachable goals succeed after a reset."""
+
+    def test_goal_seek_fails_out_of_reach_then_recovers(self):
+        from ealv_tpu.runtime.watchdog import GoalSeeker
+        env = make_env()
+        state = {"s": env.init(DOWN)}
+        step_pose = jax.jit(env.step_pose)
+
+        def step_fn(goal):
+            # one attempt = a burst of pose servo steps toward the goal
+            target = jnp.asarray(
+                [goal[0], goal[1], goal[2], np.pi, 0.0, goal[3]], jnp.float32)
+            for _ in range(20):
+                state["s"] = step_pose(state["s"], target)
+            p = np.asarray(state["s"].pose)
+            return np.array([p[0], p[1], p[2], p[5]])
+
+        resets = []
+        def reset_fn():
+            resets.append(True)
+            state["s"] = env.reset_joints(state["s"])
+
+        gs = GoalSeeker(pos_tol=0.02, max_tries=4)
+        # out of kinematic reach: seek fails and the joint-reset escalation
+        # fired mid-way (the reference's resetJointsCallback path)
+        ok, pos = gs.seek(np.array([1.1, 0.0, 0.3, 0.0]), step_fn,
+                          reset_fn=reset_fn)
+        assert not ok
+        assert resets  # escalation actually ran
+        assert pos[0] < 1.0  # the arm physically cannot get there
+
+        # reachable goal after the reset: converges
+        ok, pos = gs.seek(np.array([0.5, 0.05, 0.32, 0.0]), step_fn,
+                          reset_fn=reset_fn)
+        assert ok
+        np.testing.assert_allclose(pos[:3], [0.5, 0.05, 0.32], atol=0.02)

@@ -172,7 +172,7 @@ def main():
                               - t_dispatch / S)
 
     # full inline tick
-    chunk = 12
+    chunk = 24
     run1 = jax.jit(lambda s: exp1.run_chunk(s, chunk))
     es1, infos = run1(es)
     _ = float(infos["loss"][-1])

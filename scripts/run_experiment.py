@@ -61,6 +61,11 @@ def main():
     ap.add_argument("--panel", action="store_true",
                     help="attach the stdin control panel (pause/resume/save/"
                          "mode/z/brightness commands) — host-loop mode only")
+    ap.add_argument("--web-panel", type=int, default=-1, metavar="PORT",
+                    help="serve the browser control panel (pause/resume/"
+                         "save/mode/brightness + live dashboard) on this "
+                         "port (0 = auto-pick); works in both fused and "
+                         "host-loop modes")
     ap.add_argument("--dash-every", type=int, default=0,
                     help="refresh the live dashboard (dashboard.png / "
                          ".html in the run dir) every N explr steps — the "
@@ -150,6 +155,11 @@ def main():
         if args.panel:
             from ealv_tpu.runtime.panel import ControlPanel
             ControlPanel(runner.hooks()).start()
+        if args.web_panel >= 0:
+            from ealv_tpu.runtime.webpanel import WebPanel
+            wp = WebPanel(runner.hooks(), run_dir=dirp, port=args.web_panel)
+            wp.start()
+            ml.write_to_log(f"web panel: http://127.0.0.1:{wp.port}/")
         # drive to the start pose with goal-seek retries before exploring
         start6 = np.asarray(bridge.klerg_start_pose())
         runner.drive_to_start(start6, yaw_index=5)
@@ -175,8 +185,23 @@ def main():
         from ealv_tpu.viz import LiveDashboard
         dash = LiveDashboard(exp, dirp)
 
+    web = None
+    if args.web_panel >= 0:
+        from ealv_tpu.runtime.panel import ControlHooks
+        from ealv_tpu.runtime.webpanel import WebPanel
+        hooks = ControlHooks()
+        web = WebPanel(hooks, run_dir=dirp, port=args.web_panel)
+        web.start()
+        ml.write_to_log(f"web panel: http://127.0.0.1:{web.port}/")
+
     n_chunks = max(1, remaining // args.chunk)
     for c in range(n_chunks):
+        while web is not None and web.hooks.pause_mgr.paused:
+            time.sleep(0.2)  # fused loop pauses between chunks
+        if web is not None and web.hooks.pause_mgr.consume_save():
+            save_checkpoint(os.path.join(dirp, "checkpoints"), es,
+                            step=int(es.explr_step))
+            ml.write_to_log("checkpoint saved on panel request")
         if args.profile and c == 1:  # steady state: past compile + warmup
             jax.profiler.start_trace(os.path.join(dirp, "profile"))
         es, infos = run(es)

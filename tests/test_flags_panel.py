@@ -88,3 +88,59 @@ class TestControlPanel:
         out = io.StringIO()
         ControlPanel(hooks, inp=inp, out=out).run()
         assert "paused=True" in out.getvalue()
+
+
+class TestWebPanel:
+    """Browser control panel (runtime/webpanel.py): the tk GUI role served
+    over HTTP on the same ControlHooks surface."""
+
+    @pytest.fixture()
+    def panel(self, tmp_path):
+        from ealv_tpu.runtime.panel import ControlHooks
+        from ealv_tpu.runtime.webpanel import WebPanel
+        modes = []
+        hooks = ControlHooks(switch_mode_fn=modes.append,
+                             brightness_fn=lambda b: modes.append(("b", b)))
+        (tmp_path / "dashboard.png").write_bytes(b"\x89PNG fake")
+        wp = WebPanel(hooks, run_dir=str(tmp_path))
+        wp.start()
+        yield wp, hooks, modes
+        wp.stop()
+
+    def _post(self, port, line):
+        import urllib.request
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/cmd",
+                                     data=line.encode(), method="POST")
+        with urllib.request.urlopen(req, timeout=5) as r:
+            return r.read().decode()
+
+    def _get(self, port, path):
+        import urllib.request
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}",
+                                    timeout=5) as r:
+            return r.status, r.read()
+
+    def test_commands_drive_hooks(self, panel):
+        wp, hooks, modes = panel
+        assert self._post(wp.port, "pause") == "paused"
+        assert hooks.pause_mgr.paused
+        assert self._post(wp.port, "resume") == "resumed"
+        assert not hooks.pause_mgr.paused
+        self._post(wp.port, "mode pose")
+        assert modes[-1] == "pose"
+        self._post(wp.port, "b 0.4")
+        assert modes[-1] == ("b", 0.4)
+        self._post(wp.port, "save")
+        assert hooks.pause_mgr.save_requested
+
+    def test_status_and_page_and_image(self, panel):
+        import json
+        wp, hooks, modes = panel
+        code, body = self._get(wp.port, "/status")
+        assert code == 200
+        s = json.loads(body)
+        assert set(s) == {"paused", "manual", "save_pending"}
+        code, body = self._get(wp.port, "/")
+        assert code == 200 and b"brightness" in body
+        code, body = self._get(wp.port, "/dashboard.png")
+        assert code == 200 and body.startswith(b"\x89PNG")

@@ -47,6 +47,32 @@ def conv_output_dims(hw, kernels, strides):
     return dims[-1], dims
 
 
+class _FastValidConv(nn.Module):
+    """nn.Conv(padding=VALID) drop-in (same 'kernel'/'bias' param tree, same
+    lecun-normal init) computing through ops.fast_conv.conv2d_valid — the
+    custom-VJP conv whose weight gradient is an im2col MXU matmul."""
+
+    features: int
+    kernel: int
+    stride: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.fast_conv import conv2d_valid
+
+        k = self.kernel
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        y = conv2d_valid(x.astype(self.dtype), w.astype(self.dtype),
+                         self.stride)
+        return y + b.astype(self.dtype)
+
+
 class ModelState(NamedTuple):
     """Target-distribution runtime state (the torch registered buffers
     seed_x/seed_y/z_samples/init of vae.py:95-101, plus the optional
@@ -80,6 +106,12 @@ class CVAE(nn.Module):
     dx: bool = False  # decode relative pose (samples - seed_x)
     z_mem: int = 5  # z-ensemble size (build_z_buffer z_mem=5)
     compute_dtype: jnp.dtype = jnp.float32
+    # encoder convs via ops/fast_conv.py: identical forward + params, but
+    # the weight-gradient is an im2col matmul instead of XLA's tiny-channel
+    # conv lowering. Measured LOSS at production sizes (3.12 vs 2.14 ms/SGD
+    # step — the materialized patches cost more than the slow dW they
+    # replace), so off by default; kept as a recorded negative result.
+    fast_encoder_grads: bool = False
     # image decoder family: 'conv_transpose' mirrors the reference's
     # ConvTranspose2d stack; 'resize_conv' = nearest-upsample + stride-1
     # conv — same capacity per layer, avoids XLA's slow transposed-conv
@@ -94,9 +126,13 @@ class CVAE(nn.Module):
         self.feat_dim = h * w * self.cnn_channels[-1]
         self.force_dim = 1 if self.learn_force else 0
 
+        conv_cls = _FastValidConv if self.fast_encoder_grads else None
         self.enc_convs = [
-            nn.Conv(c, (k, k), strides=(s, s), padding="VALID", dtype=self.compute_dtype,
-                    name=f"enc_conv{i}")
+            (conv_cls(features=c, kernel=k, stride=s, dtype=self.compute_dtype,
+                      name=f"enc_conv{i}")
+             if conv_cls else
+             nn.Conv(c, (k, k), strides=(s, s), padding="VALID",
+                     dtype=self.compute_dtype, name=f"enc_conv{i}"))
             for i, (k, s, c) in enumerate(
                 zip(self.cnn_kernels, self.cnn_strides, self.cnn_channels)
             )
@@ -118,17 +154,34 @@ class CVAE(nn.Module):
         )
         in_channels = [self.img_dim[2]] + list(self.cnn_channels[:-1])
         if self.decoder_mode == "conv_transpose":
-            self.dec_convs = [
-                nn.ConvTranspose(c_out, (k, k), strides=(s, s), padding="VALID",
-                                 dtype=self.compute_dtype, name=f"dec_conv{i}")
-                for i, (k, s, c_out) in enumerate(
-                    zip(
-                        reversed(self.cnn_kernels),
-                        reversed(self.cnn_strides),
-                        reversed(in_channels),
-                    )
+            # fold the shape-deficit fix into the transposed conv's padding:
+            # a VALID transpose of a floor-divided forward conv comes up
+            # `deficit` pixels short per dim; padding (k-1, k-1+deficit)
+            # zero-extends the hi edge inside the conv — torch's
+            # output_padding semantics (vae_utils.get_padding :32-49) with
+            # no separate pad op (the explicit edge-pad + its gradient cost
+            # ~0.17 ms/SGD step at production sizes)
+            L = len(self.cnn_kernels)
+            convs = []
+            for i, (k, s, c_out) in enumerate(
+                zip(
+                    reversed(self.cnn_kernels),
+                    reversed(self.cnn_strides),
+                    reversed(in_channels),
                 )
-            ]
+            ):
+                in_hw = self._dims[L - i]
+                target = self._dims[L - 1 - i]
+                pads = tuple(
+                    (k - 1, k - 1 + (target[d] - ((in_hw[d] - 1) * s + k)))
+                    for d in range(2)
+                )
+                convs.append(
+                    nn.ConvTranspose(c_out, (k, k), strides=(s, s),
+                                     padding=pads, dtype=self.compute_dtype,
+                                     name=f"dec_conv{i}")
+                )
+            self.dec_convs = convs
         elif self.decoder_mode == "subpixel":
             from .subpixel import SubpixelConvTranspose
 
@@ -168,9 +221,9 @@ class CVAE(nn.Module):
         return h.reshape(h.shape[0], -1)
 
     def img_decode(self, feat):
-        """(B, feat) -> (B, H, W, C). Edge-replicate pads fix the VALID
-        conv-transpose shape deficit (the reference's output_padding,
-        vae_utils.get_padding :32-49) without dead zero pixels."""
+        """(B, feat) -> (B, H, W, C). The VALID conv-transpose shape deficit
+        is folded into each layer's padding spec (output_padding semantics,
+        vae_utils.get_padding :32-49); subpixel keeps an explicit edge-pad."""
         h = feat.reshape(feat.shape[0], *self.inner_shape)
         fwd_dims = self._dims
         for i, conv in enumerate(self.dec_convs):
@@ -180,7 +233,7 @@ class CVAE(nn.Module):
                     h, (h.shape[0], target[0], target[1], h.shape[3]), "nearest"
                 )
                 h = conv(h)
-            else:  # conv_transpose / subpixel (same shapes, same params)
+            else:  # conv_transpose (exact via padding) / subpixel (pads)
                 h = conv(h)
                 pad_h = target[0] - h.shape[1]
                 pad_w = target[1] - h.shape[2]

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Fingerprint method-matrix study: train, capture fingerprints at the true
+object centers, then evaluate EVERY (dist_method x error_mode) combination
+from one exploration stream (parity: test_fingerprint_main.py:77-169 +
+scripts/fingerprint_mp:216-240 — one worker per combo fed from a shared
+ring; here one FingerprintMatrixRuntime).
+
+  python scripts/run_fingerprint_matrix.py --learn-steps 600 --id-steps 300
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--learn-steps", type=int, default=600)
+    ap.add_argument("--id-steps", type=int, default=300)
+    ap.add_argument("--capture-steps", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--states", default="xyw")
+    ap.add_argument("--out", default=None,
+                    help="directory for per-combo belief artifacts")
+    ap.add_argument("--small", action="store_true")
+    args = ap.parse_args()
+
+    from ealv_tpu.utils.config import ExperimentConfig
+    from ealv_tpu.runtime import Experiment
+    from ealv_tpu.utils.states import ws_conversion
+    from ealv_tpu.fingerprint.capture import capture_fingerprint
+    from ealv_tpu.fingerprint.identify import FingerprintSet
+    from ealv_tpu.fingerprint.test_runtime import FingerprintMatrixRuntime
+
+    overrides = dict(states=args.states)
+    if args.small:
+        overrides.update(
+            image_dim=(48, 48, 3), cnn_kernels=(3, 3), cnn_strides=(2, 2),
+            cnn_channels=(10, 10), hidden_dim=(256, 128), z_dim=12,
+            num_target_samples=512, num_traj_samples=512,
+            traj_buffer_capacity=1024, buffer_capacity=1024, batch_size=32,
+            num_learning_opt=10,
+        )
+    cfg = ExperimentConfig(**overrides)
+    exp = Experiment(cfg, train_calls_per_tick=1, train_every=3)
+    es = exp.init(seed=args.seed)
+    run = jax.jit(lambda s: exp.run_chunk(s, 50))
+    t0 = time.perf_counter()
+    for _ in range(max(1, args.learn_steps // 50)):
+        es, infos = run(es)
+    losses = np.asarray(infos["loss"])
+    losses = losses[losses != 0]
+    print(f"{int(es.explr_step)} learning steps in {time.perf_counter()-t0:.0f}s;"
+          f" loss {losses[-1]:.3f}", flush=True)
+
+    # true centers in robot coords over the explr states (w/z = 0)
+    scene = es.env.scene
+    tl = np.asarray(cfg.tray_lim)
+    rl = np.asarray(cfg.robot_lim)
+    truth = []
+    for xy in np.asarray(scene.obj_xy):
+        full = np.zeros(cfg.s_dim, np.float32)
+        full[0], full[1] = xy
+        truth.append(np.asarray(ws_conversion(
+            jnp.asarray(full), jnp.asarray(tl), jnp.asarray(rl))))
+    truth = np.stack(truth)
+    print(f"true centers (robot): {np.round(truth, 3).tolist()}", flush=True)
+
+    fps_dicts = []
+    for i, ctr in enumerate(truth):
+        fp = capture_fingerprint(exp.model, es.params, cfg,
+                                 ctr.astype(np.float32), scene=scene,
+                                 num_steps=args.capture_steps, seed=i)
+        fps_dicts.append(fp)
+        print(f"fingerprint {i}: {fp['x'].shape[0]} poses", flush=True)
+    fps = FingerprintSet.from_lists(fps_dicts)
+
+    rt = FingerprintMatrixRuntime(
+        cfg, exp.model, es.params, fps,
+        combos=(("L2", False), ("KL", False), ("BC", False), ("L2", True)),
+        seek_combo=0, seek_fingerprint=0,
+        update_tdist_step=max(10, args.id_steps // 6), scene=scene,
+    )
+    t0 = time.perf_counter()
+    rt.run(n_steps=args.id_steps, seed=args.seed + 7)
+    print(f"{args.id_steps}-step matrix identification in "
+          f"{time.perf_counter()-t0:.0f}s", flush=True)
+
+    table = rt.results_table(truth=truth)
+    print("\n| method | per-object error | mean error |")
+    print("|---|---|---|")
+    for key, row in table.items():
+        errs = ", ".join(f"{e:.3f}" for e in row["error"])
+        print(f"| {key} | {errs} | {row['mean_error']:.3f} |")
+    if args.out:
+        paths = rt.save(args.out)
+        for k, p in paths.items():
+            print(f"beliefs[{k}] -> {p}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ealv_tpu.ops import (
     traj_footprint,
@@ -194,3 +195,52 @@ class TestPallasAdam:
             pp = optax.apply_updates(pp, up2)
         for a, b in zip(jax.tree.leaves(po), jax.tree.leaves(pp)):
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+class TestFastConv:
+    """Custom-VJP VALID conv (ops/fast_conv.py): forward identical to
+    lax.conv_general_dilated; dx/dW match jax autodiff of the plain conv
+    (the dW path is an im2col MXU matmul instead of XLA's tiny-channel
+    conv lowering)."""
+
+    @pytest.mark.parametrize("shape", [(2, 17, 17, 3, 5, 3, 2),
+                                       (1, 20, 20, 4, 6, 5, 3)])
+    def test_fwd_and_grads_match_autodiff(self, rng, shape):
+        from jax import lax
+        from ealv_tpu.ops.fast_conv import conv2d_valid
+        B, H, W, Cin, Cout, k, s = shape
+        x = jnp.asarray(rng.normal(size=(B, H, W, Cin)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(k, k, Cin, Cout)).astype(np.float32))
+        ref = lambda x, w: lax.conv_general_dilated(
+            x, w, (s, s), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        cot = jnp.asarray(rng.normal(size=ref(x, w).shape).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(conv2d_valid(x, w, s)),
+                                      np.asarray(ref(x, w)))
+        gx0, gw0 = jax.grad(lambda x, w: (ref(x, w) * cot).sum(), (0, 1))(x, w)
+        gx1, gw1 = jax.grad(
+            lambda x, w: (conv2d_valid(x, w, s) * cot).sum(), (0, 1))(x, w)
+        np.testing.assert_allclose(gx1, gx0, atol=1e-5)
+        np.testing.assert_allclose(gw1, gw0, rtol=1e-5, atol=1e-4)
+
+    def test_model_grads_match_plain_encoder(self, rng):
+        from ealv_tpu.models import CVAE, cvae_loss
+        kw = dict(img_dim=(24, 24, 3), z_dim=8, s_dim=2, hidden_dim=(32, 16),
+                  cnn_kernels=(3, 3), cnn_strides=(2, 2), cnn_channels=(4, 6))
+        m_fast = CVAE(fast_encoder_grads=True, **kw)
+        m_ref = CVAE(fast_encoder_grads=False, **kw)
+        key = jax.random.PRNGKey(0)
+        p = m_ref.init({"params": key}, jnp.zeros((1, 2)),
+                       jnp.zeros((1, 24, 24, 3)), train=False)
+        x = jnp.asarray(rng.normal(size=(4, 2)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(size=(4, 24, 24, 3)).astype(np.float32))
+
+        def loss(model, p):
+            out = model.apply(p, x, y, train=False)
+            return cvae_loss(out, y, beta=0.01, gamma=0.1, gamma_weight=0.1,
+                             learn_force=False, other_locs=False)[0]
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(m_ref, p))(p)
+        l1, g1 = jax.value_and_grad(lambda p: loss(m_fast, p))(p)
+        assert abs(float(l0 - l1)) < 1e-5
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(b, a, atol=1e-6)

@@ -28,6 +28,20 @@ from .identify import FingerprintSet, update_beliefs
 from .belief import FingerprintBelief
 
 
+def _jit_update(model, fps, cfg, dist_method: str, error_mode: bool):
+    """(params, beliefs, state, y) -> (beliefs, dists), fused in one jit."""
+
+    def f(params, beliefs, state, y):
+        return update_beliefs(
+            model, params, fps, beliefs, state, y,
+            states=cfg.states, robot_lim=cfg.robot_lim,
+            tray_lim=cfg.tray_lim, dist_method=dist_method,
+            error_mode=error_mode,
+        )
+
+    return jax.jit(f)
+
+
 @dataclass
 class FingerprintTestRuntime:
     cfg: ExperimentConfig
@@ -59,6 +73,12 @@ class FingerprintTestRuntime:
         self._ev = EvalExperiment(
             self.cfg, lambda ctx, samples: ctx.pdf(samples), scene=self.scene
         )
+        # ONE jitted program per observation: identify + relative-pose
+        # compose + belief fusion for every fingerprint. Calling the chain
+        # eagerly costs dozens of per-op dispatches (each ~30 ms over a
+        # remote-TPU tunnel) — fused it is a single dispatch.
+        self._update = _jit_update(self.model, self.fps, self.cfg,
+                                   self.dist_method, self.error_mode)
 
     def run(self, n_steps: int, seed: int = 0, update_every: int = 1):
         """Explore for n_steps, updating all fingerprint beliefs from every
@@ -79,12 +99,9 @@ class FingerprintTestRuntime:
             )
             ev, obs = tick(ev, target)
             if step % update_every == 0:
-                self.beliefs, dists = update_beliefs(
-                    self.model, self.params, self.fps, self.beliefs,
+                self.beliefs, dists = self._update(
+                    self.params, self.beliefs,
                     obs["robot_state"], obs["image"],
-                    states=self.cfg.states,
-                    robot_lim=self.cfg.robot_lim, tray_lim=self.cfg.tray_lim,
-                    dist_method=self.dist_method, error_mode=self.error_mode,
                 )
                 self.history.append({
                     "step": step,
@@ -157,6 +174,12 @@ class FingerprintMatrixRuntime:
         self._ev = EvalExperiment(
             self.cfg, lambda ctx, samples: ctx.pdf(samples), scene=self.scene
         )
+        # one fused update program per combo (see _jit_update)
+        self._updates = {
+            self.combo_key(m, e): _jit_update(self.model, self.fps, self.cfg,
+                                              m, e)
+            for m, e in self.combos
+        }
 
     def run(self, n_steps: int, seed: int = 0, update_every: int = 1):
         """One exploration; all combos' beliefs updated from every
@@ -180,13 +203,9 @@ class FingerprintMatrixRuntime:
                        "robot_state": np.asarray(obs["robot_state"])}
                 for method, err in self.combos:
                     key = self.combo_key(method, err)
-                    self.beliefs[key], dists = update_beliefs(
-                        self.model, self.params, self.fps, self.beliefs[key],
+                    self.beliefs[key], dists = self._updates[key](
+                        self.params, self.beliefs[key],
                         obs["robot_state"], obs["image"],
-                        states=self.cfg.states,
-                        robot_lim=self.cfg.robot_lim,
-                        tray_lim=self.cfg.tray_lim,
-                        dist_method=method, error_mode=err,
                     )
                     rec[key] = np.asarray(dists)
                 self.history.append(rec)

@@ -115,33 +115,41 @@ def capture_fingerprint(
                      shrink_center=jnp.asarray(center_robot))
     ev = ev_exp.use_pose(ev, jnp.asarray(tray_pose6))
 
-    tick = jax.jit(ev_exp.tick)
-    upd = jax.jit(
-        lambda p, ms, x, y: update_dist(model, p, ms, x, y)
-    )
+    # the whole capture exploration is ONE device program (lax.scan of
+    # tick + encode) with a single host transfer at the end — the per-step
+    # eager loop paid ~5 dispatches/pulls per step over the TPU tunnel
     mstate = init_model_state(model)
 
-    z_mus, z_vars, xs = [], [], []
-    center_img = None
-    last_pose = None
+    def body(carry, _):
+        ev, ms = carry
+        ev, obs = ev_exp.tick(ev, target)
+        ms, out = update_dist(model, params, ms, obs["robot_state"],
+                              obs["image"])
+        return (ev, ms), (out["z_mu"][0], out["z_logvar"][0],
+                          obs["robot_state"])
+
+    @jax.jit
+    def capture(ev, ms, target):
+        (ev, ms), (zm, zv, x) = jax.lax.scan(
+            lambda c, _: body(c, _), (ev, ms), None, length=num_steps)
+        return zm, zv, x
+
+    _, obs0 = jax.jit(ev_exp.tick)(ev, target)
+    center_img = np.asarray(obs0["image"])
+    zm, zv, xs_all = jax.device_get(capture(ev, mstate, target))
+
+    # record only >= min_pose_dist distinct poses (:293-298): same greedy
+    # sequential filter, applied on the stacked host copy
+    keep, last_pose = [], None
     for i in range(num_steps):
-        ev, obs = tick(ev, target)
-        x = obs["robot_state"]
-        mstate, out = upd(params, mstate, x, obs["image"])
-        if center_img is None:
-            center_img = np.asarray(obs["image"])
-        xp = np.asarray(x)
-        # record only >= min_pose_dist distinct poses (:293-298)
-        if last_pose is None or np.linalg.norm(xp - last_pose) >= min_pose_dist:
-            z_mus.append(np.asarray(out["z_mu"][0]))
-            z_vars.append(np.asarray(out["z_logvar"][0]))
-            xs.append(xp)
-            last_pose = xp
+        if last_pose is None or np.linalg.norm(xs_all[i] - last_pose) >= min_pose_dist:
+            keep.append(i)
+            last_pose = xs_all[i]
 
     return {
-        "z_mu": np.stack(z_mus),
-        "z_var": np.stack(z_vars),
-        "x": np.stack(xs),
+        "z_mu": zm[keep],
+        "z_var": zv[keep],
+        "x": xs_all[keep],
         "center": np.asarray(center_robot, np.float32),
         "center_img": center_img,
     }

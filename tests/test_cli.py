@@ -1,0 +1,58 @@
+"""Script-level smoke test: scripts/run_experiment.py end-to-end (the
+roslaunch run.launch entry point) — run dir artifacts, resume, dashboard.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(REPO, "scripts", "run_experiment.py")
+
+
+def run_cli(out_dir, *extra, steps=8):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = ""  # child re-pins via its own config
+    cmd = [sys.executable, SCRIPT, "--steps", str(steps), "--chunk", "4",
+           "--small", "--seed", "0", "--out", str(out_dir), *extra]
+    # force CPU in the child (tests must not require the real chip)
+    code = (
+        "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.argv = {cmd[1:]!r}; __file__ = sys.argv[0]; "
+        "exec(compile(open(sys.argv[0]).read(), sys.argv[0], 'exec'))"
+    )
+    return subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=900)
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    out = tmp_path_factory.mktemp("cli")
+    r = run_cli(out, "--dash-every", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    return os.path.join(str(out), "synth", "entklerg_0000")
+
+
+class TestRunExperimentCLI:
+    def test_run_dir_artifacts(self, run_dir):
+        for f in ("config.yaml", "log.txt", "metrics.npz", "training.png",
+                  "final_view.png", "dashboard.png", "dashboard.html"):
+            assert os.path.exists(os.path.join(run_dir, f)), f
+        assert os.path.isdir(os.path.join(run_dir, "checkpoints"))
+
+    def test_metrics_series(self, run_dir):
+        m = np.load(os.path.join(run_dir, "metrics.npz"))
+        assert "loss" in m and "ergodic_cost" in m
+        assert m["ergodic_cost"].size >= 8
+
+    def test_resume_continues(self, run_dir):
+        out = os.path.dirname(os.path.dirname(run_dir))
+        r = run_cli(out, "--resume", steps=12)
+        assert r.returncode == 0, r.stderr[-2000:]
+        log = open(os.path.join(run_dir, "log.txt")).read()
+        assert "resumed from" in log
+        assert "12 steps" in log or "done: 12" in log

@@ -9,7 +9,11 @@ Usage: python scripts/profile_tick.py [--inline]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -18,8 +22,34 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+_DISPATCH_S = None
+
+
+def dispatch_overhead():
+    """Fixed per-jitted-call cost of this backend (measured with a
+    near-empty program; ~30 ms over the axon tunnel). Subtracted from every
+    stage so the numbers reflect device time, not RTT."""
+    global _DISPATCH_S
+    if _DISPATCH_S is None:
+        def empty(x):
+            return jax.lax.scan(lambda c, _: (c + 1.0, None), x, None,
+                                length=8)[0]
+        f = jax.jit(empty)
+        _ = float(f(0.0))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _ = float(f(0.0))
+            best = min(best, time.perf_counter() - t0)
+        _DISPATCH_S = best
+        print(f"{'per-dispatch overhead':<38s} {best*1e3:8.2f} ms (subtracted)")
+    return _DISPATCH_S
+
+
 def timed_scan(fn, state, n=30, name=""):
-    """Scan fn n times over a carried state; return (ms_per_call, out)."""
+    """Scan fn n times over a carried state; return dispatch-corrected
+    ms_per_call."""
+    over = dispatch_overhead()
     def body(c, _):
         return fn(c), None
     run = jax.jit(lambda s: jax.lax.scan(body, s, None, length=n)[0])
@@ -33,6 +63,7 @@ def timed_scan(fn, state, n=30, name=""):
         leaf = jax.tree.leaves(out)[0]
         _ = jax.device_get(jnp.sum(leaf.astype(jnp.float32)))
         best = min(best, (time.perf_counter() - t0) / n)
+    best = max(best - over / n, 0.0)
     print(f"{name:<38s} {best*1e3:8.2f} ms")
     return best
 

@@ -52,6 +52,7 @@ def build_native(force: bool = False) -> Path:
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
              "-I", str(_NATIVE_DIR / "include"),
              str(_NATIVE_DIR / "src" / "controllers.cpp"),
+             str(_NATIVE_DIR / "src" / "rt_loop.cpp"),
              str(_NATIVE_DIR / "src" / "c_api.cpp"),
              "-o", str(out)],
             check=True,

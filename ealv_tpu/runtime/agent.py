@@ -326,6 +326,16 @@ class Experiment:
         # entropy evaluation and the trainer live inside the same lax.cond:
         # skipped steps (learning-ratio throttle, train_every interleave) pay
         # for neither. A gated where() would still pay for both.
+        #
+        # The replay ring is deliberately NOT a cond output: the trainer
+        # only READS it, and the one thing _train wrote to it was the tiny
+        # beta/gamma hyperparam ring. The cond returns (grade, spread)
+        # instead — NaN on the skip branch, which update_hyperparams'
+        # nan-guard (vae_buffer.py:186-208 parity) already drops — and the
+        # small-ring write happens outside. Measured perf-neutral on the
+        # chip (XLA already threaded the untouched ring through the cond
+        # without a copy), but it keeps the cond carry minimal so no future
+        # branch accidentally forces a ring materialization.
         params, opt_state = es.params, es.opt_state
         hyper = es.hyper
         learning_ind = es.learning_ind
@@ -339,7 +349,7 @@ class Experiment:
                 do = do & (es.explr_step % self.train_every == 0)
 
             def _train(args):
-                p, o, b, h = args
+                p, o, h = args
                 # pre_train_mp: spread/grade from model entropy (:487-545)
                 samples_hp = jax.random.uniform(
                     jax.random.fold_in(k_hp, i),
@@ -347,12 +357,11 @@ class Experiment:
                     minval=self.robot_lim[:, 0], maxval=self.robot_lim[:, 1],
                 )
                 pdf_vals = self.model.apply(p, mstate, samples_hp, method=CVAE.pdf)
-                all_x, x_mask = b.get_all_x()
+                all_x, x_mask = buf.get_all_x()
                 grade, spread = entropy_grade_spread(
                     pdf_vals, all_x, x_mask, samples_hp,
                     jnp.arange(cfg.s_dim), jnp.full(cfg.s_dim, cfg.std), cfg.xi,
                 )
-                b = b.update_hyperparams(es.explr_step, grade, spread)
                 h = hyperparam_update(
                     h, grade, spread,
                     fixed_beta=cfg.fixed_beta, beta_manual_ramp=cfg.beta_manual_ramp,
@@ -371,27 +380,30 @@ class Experiment:
                 if self.mesh is not None:
                     from ..parallel.train import dp_train_call
                     p, o, mets = dp_train_call(
-                        self.trainer, self.mesh, p, o, b,
+                        self.trainer, self.mesh, p, o, buf,
                         jax.random.fold_in(k_train, i), h.beta, h.gamma,
                     )
                 else:
                     p, o, mets = train_call(
-                        self.trainer, p, o, b,
+                        self.trainer, p, o, buf,
                         jax.random.fold_in(k_train, i), h.beta, h.gamma,
                     )
-                return p, o, b, h, mets
+                return p, o, h, grade, spread, mets
 
             def _skip(args):
-                p, o, b, h = args
+                p, o, h = args
                 zeros = jax.tree.map(
                     lambda s: jnp.zeros(s.shape, s.dtype),
-                    jax.eval_shape(_train, (p, o, b, h))[4],
+                    jax.eval_shape(_train, (p, o, h))[5],
                 )
-                return p, o, b, h, zeros
+                nan = jnp.full((), jnp.nan, jnp.float32)
+                return p, o, h, nan, nan, zeros
 
-            params, opt_state, buf, hyper, mets = jax.lax.cond(
-                do, _train, _skip, (params, opt_state, buf, hyper)
+            params, opt_state, hyper, grade, spread, mets = jax.lax.cond(
+                do, _train, _skip, (params, opt_state, hyper)
             )
+            # NaN grade/spread (skip branch) is dropped by the nan-guard
+            buf = buf.update_hyperparams(es.explr_step, grade, spread)
             learning_ind = learning_ind + do.astype(jnp.int32)
             metrics = mets
 
@@ -416,3 +428,64 @@ class Experiment:
         def body(carry, _):
             return self.tick(carry)
         return jax.lax.scan(body, es, None, length=n_steps)
+
+    def post_train_chunk(self, es: ExperimentState, n_calls: int):
+        """n trainer calls with NO exploration — the post-exploration
+        training phase. After the exploration loop ends, the reference
+        keeps issuing trainer calls (pre_train_mp -> 25 SGD steps ->
+        post_train_mp) until learning_ind reaches num_steps *
+        target_learning_rate, then saves model_postexplr
+        (trainer_ddp.py:202-249, main_async.py:117-158). Here each call is
+        one scan iteration: entropy grade/spread over the frozen replay
+        ring -> hyperparam update -> trainer call. Pure; jit me."""
+        cfg = self.cfg
+
+        def body(carry, _):
+            es = carry
+            key, k_train, k_hp = jax.random.split(es.key, 3)
+            samples_hp = jax.random.uniform(
+                k_hp, (cfg.num_target_samples, cfg.s_dim),
+                minval=self.robot_lim[:, 0], maxval=self.robot_lim[:, 1],
+            )
+            pdf_vals = self.model.apply(es.params, es.mstate, samples_hp,
+                                        method=CVAE.pdf)
+            all_x, x_mask = es.buf.get_all_x()
+            grade, spread = entropy_grade_spread(
+                pdf_vals, all_x, x_mask, samples_hp,
+                jnp.arange(cfg.s_dim), jnp.full(cfg.s_dim, cfg.std), cfg.xi,
+            )
+            hyper = hyperparam_update(
+                es.hyper, grade, spread,
+                fixed_beta=cfg.fixed_beta, beta_manual_ramp=cfg.beta_manual_ramp,
+                fixed_gamma=cfg.fixed_gamma,
+                gamma_manual_ramp=cfg.gamma_manual_ramp,
+                other_locs=cfg.other_locs,
+                beta_start=cfg.beta_start_weight, beta_end=cfg.beta_end_weight,
+                beta_warmup_steps=cfg.beta_warmup_steps,
+                beta_warmup_epoch=cfg.beta_warmup_epoch,
+                gamma_start=cfg.gamma_start_weight,
+                gamma_end=cfg.gamma_end_weight,
+                gamma_warmup_steps=cfg.gamma_warmup_steps,
+                gamma_warmup_epoch=cfg.gamma_warmup_epoch,
+            )
+            hyper = hyper._replace(iter=hyper.iter + self.trainer.num_learning_opt)
+            if self.mesh is not None:
+                from ..parallel.train import dp_train_call
+                params, opt_state, mets = dp_train_call(
+                    self.trainer, self.mesh, es.params, es.opt_state, es.buf,
+                    k_train, hyper.beta, hyper.gamma,
+                )
+            else:
+                params, opt_state, mets = train_call(
+                    self.trainer, es.params, es.opt_state, es.buf,
+                    k_train, hyper.beta, hyper.gamma,
+                )
+            buf = es.buf.update_hyperparams(es.explr_step, grade, spread)
+            es = es._replace(
+                params=params, opt_state=opt_state, buf=buf, hyper=hyper,
+                key=key, learning_ind=es.learning_ind + 1,
+            )
+            return es, {"loss": mets["loss"][-1], "beta": hyper.beta,
+                        "gamma": hyper.gamma}
+
+        return jax.lax.scan(body, es, None, length=n_calls)

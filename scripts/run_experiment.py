@@ -75,6 +75,14 @@ def main():
                     help="capture a jax.profiler trace of one steady-state "
                          "chunk into {run_dir}/profile (open with xprof/"
                          "tensorboard)")
+    ap.add_argument("--post-train", dest="post_train", action="store_true",
+                    default=True,
+                    help="after exploration, keep training until "
+                         "learning_ind >= num_steps * target_learning_rate "
+                         "and save a 'postexplr' checkpoint (the "
+                         "reference's post-exploration phase, "
+                         "trainer_ddp.py:202-249; default on)")
+    ap.add_argument("--no-post-train", dest="post_train", action="store_false")
     ap.add_argument("--entropy-slices", action="store_true",
                     help="after the run, render the get_dists entropy-slice "
                          "figures (marginal uncertainty fields per z-range "
@@ -236,6 +244,36 @@ def main():
     wall = time.time() - t0
     ml.write_to_log(f"done: {int(es.explr_step)} steps in {wall:.0f}s "
                     f"({int(es.explr_step)/wall:.2f} Hz)")
+
+    if args.post_train:
+        # post-exploration training: train until the learning ratio target
+        # is met (trainer_ddp.py:202-249, main_async.py:117-158), then save
+        # the postexplr model — the checkpoint the reference's downstream
+        # stages (clustering/fingerprints) load.
+        target = int(cfg.num_steps * cfg.target_learning_rate)
+        deficit = target - int(es.learning_ind)
+        if deficit > 0:
+            pt_chunk = min(args.chunk, deficit)
+            post = jax.jit(lambda s: exp.post_train_chunk(s, pt_chunk))
+            t1 = time.time()
+            while int(es.learning_ind) < target:
+                es, pinfos = post(es)
+                ml.push_tick_info({"loss": pinfos["loss"],
+                                   "beta": pinfos["beta"],
+                                   "gamma": pinfos["gamma"]})
+                ml.progress(int(es.explr_step), int(es.learning_ind),
+                            float(np.asarray(pinfos["loss"])[-1]))
+            ml.write_to_log(
+                f"post-exploration training: {deficit} trainer calls in "
+                f"{time.time()-t1:.0f}s -> learning_ind {int(es.learning_ind)}"
+                f"/{target}")
+        else:
+            ml.write_to_log("post-exploration training: ratio already met")
+        save_checkpoint(os.path.join(dirp, "checkpoints"), es,
+                        step=int(es.explr_step))
+        ck = save_checkpoint(os.path.join(dirp, "checkpoints", "postexplr"), es)
+        ml.write_to_log(f"postexplr checkpoint -> {ck}")
+
     ml.save()
     if monitor:
         monitor.save_log()

@@ -56,3 +56,15 @@ class TestRunExperimentCLI:
         log = open(os.path.join(run_dir, "log.txt")).read()
         assert "resumed from" in log
         assert "12 steps" in log or "done: 12" in log
+
+    def test_post_train_phase(self, run_dir):
+        # default-on post-exploration training (trainer_ddp.py:202-249):
+        # learning ratio reaches num_steps * target_learning_rate (3.0)
+        # and the postexplr checkpoint exists
+        log = open(os.path.join(run_dir, "log.txt")).read()
+        assert "post-exploration training" in log
+        assert "postexplr checkpoint" in log
+        assert os.path.isdir(os.path.join(run_dir, "checkpoints", "postexplr"))
+        import re
+        m = re.findall(r"learning_ind (\d+)/(\d+)", log)
+        assert m and int(m[-1][0]) >= int(m[-1][1])

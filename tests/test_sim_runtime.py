@@ -173,6 +173,24 @@ class TestExperiment:
         assert 0 <= float(info["beta"]) <= 0.01
         assert 0 <= float(info["gamma"]) <= 1.0
 
+    def test_post_train_chunk(self, run20):
+        # post-exploration phase (trainer_ddp.py:202-249): trainer calls
+        # with no exploration — learning_ind advances, explr_step/buffer
+        # frozen, params change, losses finite
+        exp, es, _ = run20
+        post = jax.jit(lambda s: exp.post_train_chunk(s, 4))
+        es2, pinfos = post(es)
+        assert int(es2.learning_ind) == int(es.learning_ind) + 4
+        assert int(es2.explr_step) == int(es.explr_step)
+        assert int(es2.buf.size) == int(es.buf.size)
+        assert np.isfinite(np.asarray(pinfos["loss"])).all()
+        p0 = jax.tree.leaves(es.params)[0]
+        p1 = jax.tree.leaves(es2.params)[0]
+        assert float(jnp.abs(p0 - p1).max()) > 0
+        # each call pushes one grade/spread pair into the hyperparam ring
+        assert int(es2.buf.beta_size) == min(
+            int(es.buf.beta_size) + 4, es.buf.beta.shape[0])
+
 
 class TestSchedules:
     def test_manual_ramp(self):

@@ -13,6 +13,12 @@ step, ~8.3 SGD steps per control step. The INLINE configuration (the
 reference's sync semantics: 25 SGD steps EVERY step) is also measured and
 reported to stderr with a per-stage breakdown and an MFU estimate.
 
+``--mesh N`` additionally measures the headline chunk with the experiment
+mesh-parallel over an N-device mesh (N=1 on the one real chip: verifies the
+shard_map/psum path lowers on the actual TPU backend — the CI suite only
+ever lowers it on virtual CPU devices — and quantifies the mesh-wrapper
+overhead vs mesh=None).
+
 Baselines:
   - The reference's hardware control loop runs at 5 Hz (dt=0.2,
     launch/run.launch:8). ``vs_baseline`` = our explore+learn Hz / 5.
@@ -82,32 +88,11 @@ def _timed(run, sync, reps=3, inner=1):
     return best
 
 
-def main():
-    import numpy as np
-    from ealv_tpu.utils.config import ExperimentConfig
-    from ealv_tpu.runtime import Experiment
-    from ealv_tpu.runtime.trainer import train_call
-
-    cfg = ExperimentConfig(
-        states="xyw",
-        num_target_samples=2000,
-        num_traj_samples=3000,
-        image_dim=(180, 180, 3),
-        batch_size=64,
-        num_learning_opt=25,
-    )
-
-    # ---------------- per-stage breakdown (inline configuration) ---------
-    exp1 = Experiment(cfg, train_calls_per_tick=1, train_every=1)
-    es = exp1.init(seed=0)
-    warm = jax.jit(lambda s: exp1.run_chunk(s, 8))
-    es, _ = warm(es)
-    _ = float(es.explr_step)
-
-    # fixed per-dispatch cost of ONE jitted call on this backend (the axon
-    # tunnel pays ~tens of ms per call regardless of the program) — measured
-    # with a near-empty program and SUBTRACTED from every stage below, so
-    # the stages reflect device time, not tunnel RTT
+def _dispatch_overhead():
+    """Fixed per-dispatch cost of ONE jitted call on this backend (the axon
+    tunnel pays ~tens of ms per call regardless of the program) — measured
+    with a near-empty program and SUBTRACTED from every stage, so stages
+    reflect device time, not tunnel RTT."""
     def empty(x):
         def b(c, _):
             return c + 1.0, None
@@ -115,13 +100,30 @@ def main():
         return out
     empty_j = jax.jit(empty)
     _ = float(empty_j(0.0))
-    t_dispatch = _timed(lambda: empty_j(0.0), float, inner=1)
-    print(f"[bench] per-dispatch overhead: {t_dispatch*1e3:.1f} ms/call",
-          file=sys.stderr)
+    return _timed(lambda: empty_j(0.0), float, inner=1)
+
+
+def _measure_chunk(exp, es, chunk, t_dispatch):
+    """Best steady-state seconds/tick of a run_chunk, dispatch-corrected."""
+    run = jax.jit(lambda s: exp.run_chunk(s, chunk))
+    es, infos = run(es)
+    _ = float(infos["loss"][-1])
+    t = _timed(
+        lambda: run(es),
+        lambda o: float(o[1]["loss"][-1])
+        + float(jax.tree.leaves(o[0].params)[0].sum()),
+        inner=chunk,
+    ) - t_dispatch / chunk
+    return t, es, infos
+
+
+def _stage_breakdown(cfg, exp1, es, t_dispatch, t_inline):
+    """Per-stage timings of the inline tick, printed to stderr."""
+    from ealv_tpu.runtime.trainer import train_call
+    from ealv_tpu.models.cvae import update_dist
 
     stages = {}
 
-    # plan: K sequential plans (planner state chained)
     K = 100
     def plan_scan(s):
         def body(ps, _):
@@ -137,7 +139,6 @@ def main():
     stages["plan"] = (_timed(lambda: plan_j(es), lambda o: float(o[-1]),
                              inner=K) - t_dispatch / K)
 
-    # train: one full 25-step trainer call, chained x4
     def train_scan(s):
         def body(carry, i):
             p, o = carry
@@ -153,8 +154,6 @@ def main():
                                       lambda o: float(o[-1]), inner=4)
                                - t_dispatch / 4)
 
-    # sense: env step + render + reseed, chained
-    from ealv_tpu.models.cvae import update_dist
     S = 100
     def sense_scan(s):
         def body(env, _):
@@ -171,16 +170,52 @@ def main():
                                      lambda o: float(o[-1]), inner=S)
                               - t_dispatch / S)
 
-    # full inline tick
-    chunk = 24
-    run1 = jax.jit(lambda s: exp1.run_chunk(s, chunk))
-    es1, infos = run1(es)
-    _ = float(infos["loss"][-1])
-    t_inline = (_timed(lambda: run1(es1),
-                       lambda o: float(o[1]["loss"][-1])
-                       + float(jax.tree.leaves(o[0].params)[0].sum()),
-                       inner=chunk) - t_dispatch / chunk)
+    other = t_inline - sum(stages.values())
+    print("[bench] per-stage (inline tick, production sizes):", file=sys.stderr)
+    for k, v in stages.items():
+        print(f"[bench]   {k:16s} {v*1e3:7.2f} ms", file=sys.stderr)
+    print(f"[bench]   {'other':16s} {other*1e3:7.2f} ms", file=sys.stderr)
+
+
+def main():
+    import argparse
+    import numpy as np
+    from ealv_tpu.utils.config import ExperimentConfig
+    from ealv_tpu.runtime import Experiment
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="additionally measure the headline chunk with an "
+                         "N-device mesh (N=1 on the single real chip)")
+    ap.add_argument("--skip-stages", action="store_true",
+                    help="skip the per-stage breakdown (faster re-runs)")
+    args = ap.parse_args()
+
+    cfg = ExperimentConfig(
+        states="xyw",
+        num_target_samples=2000,
+        num_traj_samples=3000,
+        image_dim=(180, 180, 3),
+        batch_size=64,
+        num_learning_opt=25,
+    )
+
+    t_dispatch = _dispatch_overhead()
+    print(f"[bench] per-dispatch overhead: {t_dispatch*1e3:.1f} ms/call",
+          file=sys.stderr)
+
+    # ---------------- inline configuration (reference sync semantics) -----
+    exp1 = Experiment(cfg, train_calls_per_tick=1, train_every=1)
+    es = exp1.init(seed=0)
+    warm = jax.jit(lambda s: exp1.run_chunk(s, 8))
+    es, _ = warm(es)
+    _ = float(es.explr_step)
+
+    t_inline, es1, _ = _measure_chunk(exp1, es, 24, t_dispatch)
     inline_hz = 1.0 / t_inline
+
+    if not args.skip_stages:
+        _stage_breakdown(cfg, exp1, es, t_dispatch, t_inline)
 
     # MFU of the inline tick from the analytic model-FLOP count (the axon
     # backend's cost_analysis reports only the outer module). The tick is
@@ -188,12 +223,6 @@ def main():
     # MFU is expected — see ARCHITECTURE.md for the per-op table.
     flops_tick = _analytic_flops_per_tick(cfg)
     mfu = flops_tick / t_inline / PEAK_BF16_FLOPS
-
-    other = t_inline - stages["plan"] - stages["train(25 SGD)"] - stages["sense+reseed"]
-    print("[bench] per-stage (inline tick, production sizes):", file=sys.stderr)
-    for k, v in stages.items():
-        print(f"[bench]   {k:16s} {v*1e3:7.2f} ms", file=sys.stderr)
-    print(f"[bench]   {'other':16s} {other*1e3:7.2f} ms", file=sys.stderr)
     print(f"[bench] INLINE (25 SGD every step): {t_inline*1e3:.1f} ms/step = "
           f"{inline_hz:.1f} Hz"
           + (f" | MFU ~{mfu*100:.1f}% (memory-bound: see ARCHITECTURE.md)"
@@ -207,16 +236,7 @@ def main():
     hchunk = 24
     exp = Experiment(cfg, train_calls_per_tick=1, train_every=3)
     es = exp.init(seed=0)
-    run = jax.jit(lambda s: exp.run_chunk(s, hchunk))
-    es, infos = run(es)
-    _ = float(infos["loss"][-1])
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        es, infos = run(es)
-        _ = float(infos["loss"][-1]) + float(jax.tree.leaves(es.params)[0].sum())
-        best = min(best, (time.perf_counter() - t0) / hchunk)
-    best -= t_dispatch / hchunk
+    best, es, infos = _measure_chunk(exp, es, hchunk, t_dispatch)
     hz = 1.0 / best
 
     sgd_per_s = hz / 3.0 * cfg.num_learning_opt  # one call per 3 steps
@@ -234,6 +254,25 @@ def main():
         f"buffer {int(es.buf.size)} | learning_ind {int(es.learning_ind)}",
         file=sys.stderr,
     )
+
+    # ---------------- optional: mesh-parallel on the real backend ---------
+    if args.mesh > 0:
+        from ealv_tpu.parallel import make_mesh
+
+        mesh = make_mesh(args.mesh)
+        expm = Experiment(cfg, train_calls_per_tick=1, train_every=3,
+                          mesh=mesh)
+        esm = expm.init(seed=0)
+        t_mesh, _, _ = _measure_chunk(expm, esm, hchunk, t_dispatch)
+        print(
+            f"[bench] MESH x{args.mesh} (same headline chunk, shard_map "
+            f"trainer + sharded pdf over a {args.mesh}-device mesh): "
+            f"{t_mesh*1e3:.1f} ms/step = {1.0/t_mesh:.1f} Hz | "
+            f"mesh-wrapper overhead {1e3*(t_mesh-best):+.1f} ms/step vs "
+            f"mesh=None",
+            file=sys.stderr,
+        )
+
     print(json.dumps({
         "metric": "explore_learn_step_rate",
         "value": round(hz, 2),

@@ -167,17 +167,40 @@ class NativeBridge(RobotBridge):
         self._ControlMode = ControlMode
         self.mux = NativeControllers(self.dt, self.cmd_dt, self.max_force)
         self._state_cache = StampedCache()
+        self._native_loop = None
 
     # ---- 1 kHz loop ----
+    # Pacing lives in C++ (native/src/rt_loop.cpp): absolute-deadline
+    # clock_nanosleep driving mux ticks — the stand-in for franka_control's
+    # RT callback (cartesian_vel_interface.cpp:119-197). Measured on this
+    # box: ~990 Hz sustained, ~0.1 ms mean jitter (all-native plant), ~955 Hz
+    # with a ctypes-wrapped Python driver in the tick path. A test-injected
+    # ``clock`` forces the legacy Python-paced thread (deterministic-time SIL
+    # wedges need to own the clock).
     def start(self):
+        if self.clock is time.monotonic:
+            from .native import NativeLoop
+
+            self._native_loop = NativeLoop(self.mux, self.dt,
+                                           driver=self.driver)
+            self._native_loop.start()
+            return
         self._running = True
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def stop(self):
+        if self._native_loop is not None:
+            self._native_loop.stop()
+            return
         self._running = False
         if self._thread:
             self._thread.join(timeout=1.0)
+
+    def loop_stats(self) -> Optional[dict]:
+        """Achieved tick rate / jitter / missed-deadline stats of the
+        native loop (None under the legacy Python pacing)."""
+        return self._native_loop.stats() if self._native_loop else None
 
     def _loop(self):
         CM = self._ControlMode
@@ -225,7 +248,11 @@ class NativeBridge(RobotBridge):
                 f"camera frame is {now - img_stamp:.2f}s old "
                 f"(threshold {self.max_img_age}s) — connection lost?"
             )
-        stamp, state = self._state_cache.closest(img_stamp)
+        if self._native_loop is not None:
+            hit = self._native_loop.state_closest(img_stamp)
+            state = hit[1:] if hit else None
+        else:
+            _, state = self._state_cache.closest(img_stamp)
         if state is None:  # loop not started yet: fall back to direct read
             state = self.driver.state()
         pose6, vel6, wrench6 = state

@@ -145,6 +145,149 @@ class NativeControllers:
         return out
 
 
+_STATE_FN = ctypes.CFUNCTYPE(None, ctypes.c_void_p,
+                             ctypes.POINTER(ctypes.c_double),
+                             ctypes.POINTER(ctypes.c_double),
+                             ctypes.POINTER(ctypes.c_double))
+_APPLY_FN = ctypes.CFUNCTYPE(None, ctypes.c_void_p,
+                             ctypes.POINTER(ctypes.c_double))
+
+
+class SilPlant:
+    """Native velocity-integrator plant (SIL target with zero Python in
+    the tick path)."""
+
+    def __init__(self, dt: float = 1e-3):
+        self._lib = _load()
+        lib = self._lib
+        lib.ealv_sil_plant_create.restype = ctypes.c_void_p
+        lib.ealv_sil_plant_create.argtypes = [ctypes.c_double]
+        lib.ealv_sil_plant_destroy.argtypes = [ctypes.c_void_p]
+        lib.ealv_sil_plant_state.argtypes = [ctypes.c_void_p, _d6, _d6, _d6]
+        lib.ealv_sil_plant_set_wrench.argtypes = [ctypes.c_void_p, _d6]
+        self._h = lib.ealv_sil_plant_create(dt)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.ealv_sil_plant_destroy(self._h)
+            self._h = None
+
+    def state(self):
+        p, v, w = np.zeros(6), np.zeros(6), np.zeros(6)
+        self._lib.ealv_sil_plant_state(self._h, p, v, w)
+        return p, v, w
+
+    def set_wrench(self, wrench6):
+        self._lib.ealv_sil_plant_set_wrench(
+            self._h, np.ascontiguousarray(wrench6, np.float64))
+
+
+class NativeLoop:
+    """The C++ realtime loop (rt_loop.h): paces ControllerMux ticks with
+    absolute-deadline clock_nanosleep, keeps a native stamped-state ring,
+    and reports achieved rate / jitter / missed-deadline stats.
+
+    Construct with either ``plant=SilPlant(...)`` (all-native tick path)
+    or a Python ``driver`` exposing ``state() -> (pose6, vel6, wrench6)``
+    and ``apply_velocity(twist6)`` / ``apply_pose(pose16)`` — the
+    callbacks cross the GIL each tick, so the Python-driver form is for
+    SIL/bring-up; hardware drivers belong on the C side.
+    """
+
+    def __init__(self, mux: NativeControllers, dt: float = 1e-3,
+                 plant: SilPlant | None = None, driver=None):
+        if (plant is None) == (driver is None):
+            raise ValueError("exactly one of plant/driver required")
+        self._lib = _load()
+        lib = self._lib
+        lib.ealv_loop_create.restype = ctypes.c_void_p
+        lib.ealv_loop_create.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_void_p,
+            _STATE_FN, _APPLY_FN, _APPLY_FN, _APPLY_FN]
+        lib.ealv_loop_create_sil.restype = ctypes.c_void_p
+        lib.ealv_loop_create_sil.argtypes = [ctypes.c_void_p, ctypes.c_double,
+                                             ctypes.c_void_p]
+        for name in ("ealv_loop_destroy", "ealv_loop_start", "ealv_loop_stop"):
+            getattr(lib, name).argtypes = [ctypes.c_void_p]
+        lib.ealv_loop_stats.argtypes = [ctypes.c_void_p, _d6]
+        lib.ealv_loop_state_closest.restype = ctypes.c_int
+        lib.ealv_loop_state_closest.argtypes = [
+            ctypes.c_void_p, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double), _d6, _d6, _d6]
+        lib.ealv_loop_state_latest.restype = ctypes.c_int
+        lib.ealv_loop_state_latest.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_double), _d6, _d6, _d6]
+
+        self._mux = mux      # keep alive: the loop holds a raw pointer
+        self._plant = plant
+        self._cbs = []       # keep ctypes callbacks alive
+        if plant is not None:
+            self._h = lib.ealv_loop_create_sil(mux._h, dt, plant._h)
+        else:
+            def state_cb(_, p, v, w):
+                pose, vel, wrench = driver.state()
+                for i in range(6):
+                    p[i], v[i], w[i] = pose[i], vel[i], wrench[i]
+
+            def vel_cb(_, t):
+                driver.apply_velocity(np.ctypeslib.as_array(t, (6,)).copy())
+
+            def pose_cb(_, m):
+                driver.apply_pose(np.ctypeslib.as_array(m, (16,)).copy())
+
+            def pose_mat_cb(_, m):
+                out = np.asarray(driver.pose_matrix(), np.float64).reshape(16)
+                for i in range(16):
+                    m[i] = out[i]
+
+            has_pose = hasattr(driver, "apply_pose") and hasattr(
+                driver, "pose_matrix")
+            self._cbs = [
+                _STATE_FN(state_cb), _APPLY_FN(vel_cb),
+                _APPLY_FN(pose_cb) if has_pose else _APPLY_FN(0),
+                _APPLY_FN(pose_mat_cb) if has_pose else _APPLY_FN(0),
+            ]
+            self._h = lib.ealv_loop_create(mux._h, dt, None, *self._cbs)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.ealv_loop_stop(self._h)
+            self._lib.ealv_loop_destroy(self._h)
+            self._h = None
+
+    def start(self):
+        self._lib.ealv_loop_start(self._h)
+
+    def stop(self):
+        self._lib.ealv_loop_stop(self._h)
+
+    def stats(self) -> dict:
+        out = np.zeros(6)
+        self._lib.ealv_loop_stats(self._h, out)
+        ticks, missed, jmean, jmax, elapsed = out[:5]
+        return {
+            "ticks": int(ticks), "missed": int(missed),
+            "jitter_mean_s": float(jmean), "jitter_max_s": float(jmax),
+            "elapsed_s": float(elapsed),
+            "rate_hz": float(ticks / elapsed) if elapsed > 0 else 0.0,
+        }
+
+    def state_closest(self, t: float):
+        """(stamp, pose6, vel6, wrench6) nearest ``t`` or None."""
+        stamp = ctypes.c_double()
+        p, v, w = np.zeros(6), np.zeros(6), np.zeros(6)
+        ok = self._lib.ealv_loop_state_closest(
+            self._h, t, ctypes.byref(stamp), p, v, w)
+        return (stamp.value, p, v, w) if ok else None
+
+    def state_latest(self):
+        stamp = ctypes.c_double()
+        p, v, w = np.zeros(6), np.zeros(6), np.zeros(6)
+        ok = self._lib.ealv_loop_state_latest(self._h, ctypes.byref(stamp),
+                                              p, v, w)
+        return (stamp.value, p, v, w) if ok else None
+
+
 if __name__ == "__main__":
     path = build_native(force=True)
     print(f"built {path}")

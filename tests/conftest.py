@@ -25,3 +25,13 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test (subprocess CLI runs, production-size "
+        "scans, e2e pipelines). `pytest -m 'not slow'` gives a <3 min "
+        "fast subset on a 1-core box; the full suite should run serially "
+        "(~30 min single-core).",
+    )

@@ -50,6 +50,7 @@ class TestKinematics:
         assert (np.asarray(q) <= np.asarray(Q_MAX) + 1e-6).all()
 
 
+@pytest.mark.slow
 class TestArmEnv:
     def test_init_reaches_pose_in_tray_convention(self):
         env = make_env()
@@ -149,6 +150,7 @@ class TestArmEnv:
         assert float(f_hi[0]) == 0.0
 
 
+@pytest.mark.slow
 class TestArmExperiment:
     def test_tick_runs_on_arm_backend(self):
         from ealv_tpu.utils.config import ExperimentConfig
@@ -176,6 +178,7 @@ class TestArmExperiment:
         assert abs(pose[0]) < 1.2
 
 
+@pytest.mark.slow
 class TestArmRobustnessIntegration:
     """The arm exhibits the exact failure modes the robustness layer exists
     for and the free-flying env cannot produce: out-of-reach goals fail to

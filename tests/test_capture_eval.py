@@ -43,6 +43,7 @@ def model_params():
     return cfg, model, params
 
 
+@pytest.mark.slow
 class TestEvalExperiment:
     def test_explr_with_injected_target(self, model_params):
         cfg, model, params = model_params
@@ -78,6 +79,7 @@ class TestEvalExperiment:
                                    atol=1e-2)
 
 
+@pytest.mark.slow
 class TestBaselines:
     def test_random_walk_stays_in_bounds(self):
         ctl = BaselineController(
@@ -120,6 +122,7 @@ class TestBaselines:
         assert np.isfinite(np.asarray(out.x)).all()
 
 
+@pytest.mark.slow
 class TestCapture:
     def test_capture_target_sphere(self):
         t = make_capture_target("xyw", np.array([0.3, -0.2, 0.1]), "sphere")

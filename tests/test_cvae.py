@@ -26,6 +26,7 @@ def model_and_params():
     return model, params
 
 
+@pytest.mark.slow
 class TestShapes:
     def test_conv_output_dims(self):
         # reference config: 180x180, k=[3,3,5], s=[2,2,3] -> 14x14
@@ -198,6 +199,7 @@ class TestLosses:
         assert losses[-1] < losses[0] - 0.1
 
 
+@pytest.mark.slow
 class TestDecoderModes:
     def test_resize_conv_variant(self):
         """The resize_conv decoder family (perf/quality alternative) keeps

@@ -27,6 +27,7 @@ def tiny_cfg(**kw):
     return ExperimentConfig(**d)
 
 
+@pytest.mark.slow
 class TestFlags:
     def _run(self, cfg, n=3):
         exp = Experiment(cfg, train_calls_per_tick=1)

@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ealv_tpu.utils.config import ExperimentConfig
 from ealv_tpu.models import CVAE
 from ealv_tpu.fingerprint.identify import FingerprintSet

@@ -87,6 +87,7 @@ class FailingBridge(SyntheticBridge):
         return super().klerg_cmd(twist6, brightness)
 
 
+@pytest.mark.slow
 class TestHostLoop:
     @pytest.fixture(scope="class")
     def exp(self):

@@ -130,6 +130,7 @@ class TestNormalizers:
         assert not np.isnan(out).any()
 
 
+@pytest.mark.slow
 class TestPallasAdam:
     """Fused Adam (ops/pallas_adam.py) must reproduce optax.adam exactly —
     both the inline jnp path (used for small leaves / CPU) and the Pallas
@@ -197,6 +198,7 @@ class TestPallasAdam:
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestFastConv:
     """Custom-VJP VALID conv (ops/fast_conv.py): forward identical to
     lax.conv_general_dilated; dx/dW match jax autodiff of the plain conv

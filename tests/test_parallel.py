@@ -47,6 +47,7 @@ class TestMesh:
             make_mesh(64)
 
 
+@pytest.mark.slow
 class TestDPTrain:
     def test_runs_and_learns(self, setup):
         model, params, opt_state, buf, statics = setup
@@ -107,6 +108,7 @@ class TestShardedPdf:
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestMeshExperiment:
     def test_full_tick_on_mesh(self):
         """The whole explore+learn tick with mesh-parallel trainer +

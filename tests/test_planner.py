@@ -65,6 +65,7 @@ def demo_rollout():
     return planner, pstate, np.array(path), np.array(costs)
 
 
+@pytest.mark.slow
 class TestDemoSpec:
     def test_runs_and_finite(self, demo_rollout):
         _, _, path, costs = demo_rollout
@@ -153,6 +154,7 @@ class TestPlannerMechanics:
         np.testing.assert_allclose(np.asarray(info["p"]), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 class TestPlannerFlagCombos:
     """Non-default planner configurations must trace and run (full_cost,
     fixed_lam, saturate, ctrl_app_search off, alternative policies) — these

@@ -129,6 +129,7 @@ def tiny_experiment(**kw):
     return Experiment(cfg, train_calls_per_tick=1)
 
 
+@pytest.mark.slow
 class TestExperiment:
     @pytest.fixture(scope="class")
     def run20(self):

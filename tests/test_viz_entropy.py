@@ -33,6 +33,7 @@ def small_run():
     return exp, es
 
 
+@pytest.mark.slow
 class TestEntropySlices:
     def test_variants_and_shapes(self, small_run):
         from ealv_tpu.fingerprint import entropy_slices
@@ -88,6 +89,7 @@ class TestEntropySlices:
             assert os.path.exists(p) and os.path.getsize(p) > 0
 
 
+@pytest.mark.slow
 class TestLiveDashboard:
     def test_render_frame(self, small_run, tmp_path):
         from ealv_tpu.viz import LiveDashboard

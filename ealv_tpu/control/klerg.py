@@ -247,17 +247,27 @@ class KlergPlanner:
         return du, djdlam
 
     def _target_dist(self, pdf_ctx, pstate, samples, temp, plot: bool = False,
-                     use_prior=False):
+                     use_prior=False, with_aux: bool = False):
         """Parity: get_target_dist :452-486 with uniform/prior/model modes +
         weight_temp/weight_env shaping. ``use_prior`` may be traced (the
-        prior_steps schedule selects it per step)."""
+        prior_steps schedule selects it per step).
+
+        ``with_aux`` additionally returns {'pdf': raw model pdf at the
+        samples, 'spread': the mean normalized coverage} — the exact
+        quantities the trainer's entropy grade/spread schedule needs
+        (pre_train_mp, trainer_module.py:487-545), so the tick can reuse
+        this call's decode instead of running a second one. Keys are absent
+        when the planner never computes them (uniform target / shaping off).
+        """
         cfg = self.cfg
         rl = self._robot_lim
+        aux = {}
         outside = jnp.any((samples < rl[:, 0]) | (samples > rl[:, 1]), axis=1)
         if cfg.uniform_tdist and not plot:
             p = renormalize(jnp.ones(samples.shape[0], jnp.float32))
         else:
             p = self.pdf_fn(pdf_ctx, samples)
+            aux["pdf"] = p
             p_prior = renormalize(self.prior_dist.pdf(samples[:, : self.prior_dist.means.shape[1]]))
             p = jnp.where(use_prior, p_prior, p)
         if cfg.weight_env or cfg.weight_temp or plot:
@@ -265,6 +275,10 @@ class KlergPlanner:
             spread = traj_spread(traj_all, samples, self.explr_locs, self.std,
                                  traj_mask=mask)
             spread = spread / jnp.maximum(jnp.max(spread), 1e-30)
+            # scalar BEFORE the outside/empty adjustments — the
+            # entropy-schedule form (pre_train_mp :511-525)
+            aux["spread"] = jnp.where(
+                pstate.memory.size > 0, jnp.mean(spread), 0.0)
             spread = jnp.where(outside, 1.0, spread)
             spread = jnp.where(pstate.memory.size > 0, spread, 0.0)
             if cfg.weight_env and not plot:
@@ -272,6 +286,8 @@ class KlergPlanner:
             else:
                 p = p ** jnp.mean(spread)
             p = renormalize(p)
+        if with_aux:
+            return p**temp, aux
         return p**temp
 
     def _saturate(self, u):
@@ -383,7 +399,8 @@ class KlergPlanner:
         traj_hist, hist_mask = pstate.memory.sample(k_hist, cfg.num_traj_samples)
 
         # --- target + base footprint
-        p = self._target_dist(pdf_ctx, pstate, samples, temp, use_prior=use_prior)
+        p, tdist_aux = self._target_dist(pdf_ctx, pstate, samples, temp,
+                                         use_prior=use_prior, with_aux=True)
         q_base = traj_footprint(
             traj_hist, samples, self.explr_locs, self.std, traj_mask=hist_mask
         )
@@ -462,6 +479,12 @@ class KlergPlanner:
         pstate = pstate._replace(u=u, last_plan=last_plan, key=key)
         info = dict(samples=samples, p=p, q=q_final, cost=d_kl,
                     planned_traj=last_plan[:, self.explr_locs])
+        # raw pdf + coverage for the trainer's entropy schedule (reused by
+        # Experiment.absorb_step; keys absent when not computed)
+        if "pdf" in tdist_aux:
+            info["tdist_pdf"] = tdist_aux["pdf"]
+        if "spread" in tdist_aux:
+            info["tdist_spread"] = tdist_aux["spread"]
         return pstate, info
 
     def plot_dists(self, pstate: PlannerState, pdf_ctx, samples, plot_idx,

@@ -60,13 +60,29 @@ class Experiment:
 
     def __init__(self, cfg: ExperimentConfig, train_calls_per_tick: int = 3,
                  scene: Optional[TrayScene] = None, train_every: int = 1,
-                 mesh=None):
+                 mesh=None, throttle: str = "auto"):
         self.cfg = cfg
         self.train_calls_per_tick = train_calls_per_tick
         # run trainer calls only every k-th exploration step (k > 1 =
         # high-rate control with interleaved learning; lax.cond skips the
         # trainer compute entirely on off steps)
         self.train_every = train_every
+        # how the learning-ratio throttle is lowered:
+        #   'cond'  — lax.cond skips the trainer compute on off steps, but
+        #             the conditional boundary materializes its big operands
+        #             (xprof: the cond's closed_call moves ~1.1 GB — the
+        #             image ring — costing ~2.9 ms/tick on v5e even when the
+        #             branch is taken)
+        #   'where' — the trainer always executes and the outputs are
+        #             select_n'd on the throttle predicate: no conditional
+        #             boundary, no ring copy. Wins whenever the throttle
+        #             almost always fires (inline train_every=1 runs).
+        #   'auto'  — 'where' when every step trains (train_every == 1),
+        #             'cond' when steps are skipped by construction.
+        if throttle not in ("auto", "cond", "where"):
+            raise ValueError(f"throttle={throttle!r}")
+        self.throttle = ("where" if train_every == 1 else "cond") \
+            if throttle == "auto" else throttle
         # multi-chip: with a jax.sharding.Mesh, the trainer runs
         # data-parallel over its 'data' axis (DDP semantics) and the
         # planner's uncertainty decode shards its candidate samples — the
@@ -348,20 +364,42 @@ class Experiment:
             if self.train_every > 1:
                 do = do & (es.explr_step % self.train_every == 0)
 
+            # the planner's target-dist call already decoded the model pdf
+            # over 2000 uniform samples and computed the coverage spread
+            # over the visited-state memory THIS tick (klerg._target_dist);
+            # reuse them for the entropy schedule instead of a second
+            # decode + spread kernel. Inputs differ from the standalone
+            # form only by one observation (planner runs pre-reseed) and
+            # by memory source (planner traj ring vs replay x ring — same
+            # visited states); the loss-trajectory equivalence test
+            # (tests/test_sim_runtime.py) bounds the effect.
+            fold = (
+                cfg.hyper_from_planner
+                and not self.use_baseline
+                and not cfg.use_z_ensemble
+                and "tdist_pdf" in info
+                and "tdist_spread" in info
+            )
+
             def _train(args):
                 p, o, h = args
                 # pre_train_mp: spread/grade from model entropy (:487-545)
-                samples_hp = jax.random.uniform(
-                    jax.random.fold_in(k_hp, i),
-                    (cfg.num_target_samples, cfg.s_dim),
-                    minval=self.robot_lim[:, 0], maxval=self.robot_lim[:, 1],
-                )
-                pdf_vals = self.model.apply(p, mstate, samples_hp, method=CVAE.pdf)
-                all_x, x_mask = buf.get_all_x()
-                grade, spread = entropy_grade_spread(
-                    pdf_vals, all_x, x_mask, samples_hp,
-                    jnp.arange(cfg.s_dim), jnp.full(cfg.s_dim, cfg.std), cfg.xi,
-                )
+                if fold:
+                    from .schedules import entropy_grade
+                    spread = info["tdist_spread"]
+                    grade = entropy_grade(info["tdist_pdf"], spread, cfg.xi)
+                else:
+                    samples_hp = jax.random.uniform(
+                        jax.random.fold_in(k_hp, i),
+                        (cfg.num_target_samples, cfg.s_dim),
+                        minval=self.robot_lim[:, 0], maxval=self.robot_lim[:, 1],
+                    )
+                    pdf_vals = self.model.apply(p, mstate, samples_hp, method=CVAE.pdf)
+                    all_x, x_mask = buf.get_all_x()
+                    grade, spread = entropy_grade_spread(
+                        pdf_vals, all_x, x_mask, samples_hp,
+                        jnp.arange(cfg.s_dim), jnp.full(cfg.s_dim, cfg.std), cfg.xi,
+                    )
                 h = hyperparam_update(
                     h, grade, spread,
                     fixed_beta=cfg.fixed_beta, beta_manual_ramp=cfg.beta_manual_ramp,
@@ -399,9 +437,20 @@ class Experiment:
                 nan = jnp.full((), jnp.nan, jnp.float32)
                 return p, o, h, nan, nan, zeros
 
-            params, opt_state, hyper, grade, spread, mets = jax.lax.cond(
-                do, _train, _skip, (params, opt_state, hyper)
-            )
+            if self.throttle == "where":
+                # always execute; select outputs on the predicate. The
+                # trainer compute is wasted only on skip steps, which a
+                # train_every=1 deployment (almost) never takes — and it
+                # avoids the cond boundary's ~2.9 ms ring materialization.
+                outs = _train((params, opt_state, hyper))
+                skips = _skip((params, opt_state, hyper))
+                params, opt_state, hyper, grade, spread, mets = jax.tree.map(
+                    lambda a, b: jnp.where(do, a, b), outs, skips
+                )
+            else:
+                params, opt_state, hyper, grade, spread, mets = jax.lax.cond(
+                    do, _train, _skip, (params, opt_state, hyper)
+                )
             # NaN grade/spread (skip branch) is dropped by the nan-guard
             buf = buf.update_hyperparams(es.explr_step, grade, spread)
             learning_ind = learning_ind + do.astype(jnp.int32)

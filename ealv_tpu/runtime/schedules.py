@@ -32,6 +32,16 @@ class HyperState(NamedTuple):
         )
 
 
+def entropy_grade(pdf_vals, spread, xi: float = 4.0):
+    """Grade from model pdf + coverage scalar (pre_train_mp :526-539):
+    clamped inverse min normalized entropy with exponent xi."""
+    ent = pdf_vals**spread
+    ent = ent / jnp.maximum(jnp.max(ent), 1e-30)
+    return jnp.clip(
+        10.0 ** (-jnp.log10(jnp.maximum(jnp.min(ent), 1e-30)) - xi), None, 0.01
+    )
+
+
 def entropy_grade_spread(pdf_vals, all_x, x_mask, samples, explr_idx, std,
                          xi: float = 4.0):
     """(grade, spread) from model entropy + coverage (pre_train_mp
@@ -42,11 +52,7 @@ def entropy_grade_spread(pdf_vals, all_x, x_mask, samples, explr_idx, std,
     max_q = max_q / jnp.maximum(jnp.max(max_q), 1e-30)
     spread = jnp.mean(max_q)
     spread = jnp.where(jnp.sum(x_mask) > 0, spread, 0.0)
-
-    ent = pdf_vals**spread
-    ent = ent / jnp.maximum(jnp.max(ent), 1e-30)
-    grade = jnp.clip(10.0 ** (-jnp.log10(jnp.maximum(jnp.min(ent), 1e-30)) - xi), None, 0.01)
-    return grade, spread
+    return entropy_grade(pdf_vals, spread, xi), spread
 
 
 def hyperparam_update(

@@ -43,6 +43,10 @@ class TrainerStatics:
     # pallas_call launches inside a scan carry, so the XLA path stays the
     # default (the kernel wins only for standalone multi-MB updates).
     fused_adam: bool = False
+    # lax.scan unroll factor for the SGD loop. xprof shows ~0.35 ms/SGD
+    # step of while-loop boundary self-time at this model size; unrolling
+    # amortizes it over `unroll` bodies per loop trip.
+    scan_unroll: int = 1
 
     def make_optimizer(self):
         if self.fused_adam:
@@ -148,5 +152,6 @@ def train_call(
         return (params, opt_state), metrics
 
     keys = jax.random.split(key, statics.num_learning_opt)
-    (params, opt_state), metrics = jax.lax.scan(one_step, (params, opt_state), keys)
+    (params, opt_state), metrics = jax.lax.scan(
+        one_step, (params, opt_state), keys, unroll=statics.scan_unroll)
     return params, opt_state, metrics

@@ -56,6 +56,32 @@ class TrayScene(NamedTuple):
             ground_color=jnp.array([0.45, 0.35, 0.3], jnp.float32),
         )
 
+    @classmethod
+    def make(cls, k: int, seed: int = 0):
+        """K-object scene (the reference's multi-object tabletop runs,
+        fingerprint_mp:216-240 load several object models per run).
+        Centers are placed on a jittered ring inside the tray so every
+        pair stays separated; colors/radii/heights are distinct so the
+        CVAE can tell the objects apart."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        cx, cy, r0 = 0.475, 0.0, 0.065
+        ang = 2 * np.pi * (np.arange(k) / k) + rng.uniform(-0.2, 0.2, k)
+        xy = np.stack([cx + r0 * np.cos(ang), cy + r0 * np.sin(ang)], 1)
+        hues = np.linspace(0.0, 1.0, k, endpoint=False)
+        colors = np.stack([
+            0.5 + 0.45 * np.cos(2 * np.pi * (hues + s))
+            for s in (0.0, 1 / 3, 2 / 3)
+        ], 1)
+        return cls(
+            obj_xy=jnp.asarray(xy, jnp.float32),
+            obj_radius=jnp.asarray(0.026 + 0.012 * rng.random(k), jnp.float32),
+            obj_height=jnp.asarray(0.21 + 0.05 * rng.random(k), jnp.float32),
+            obj_color=jnp.asarray(colors, jnp.float32),
+            ground_color=jnp.array([0.45, 0.35, 0.3], jnp.float32),
+        )
+
     def move_objects(self, key, tray_lim_xy):
         """Randomize object placement (parity: FrankaEnv.move_objects
         :173-192)."""

@@ -123,6 +123,11 @@ class ExperimentConfig:
     gamma_warmup_steps: int = 1000
     gamma_warmup_epoch: int = 10
     xi: float = 4.0  # entropy exponent (trainer_module.py:537-538)
+    # reuse the planner's same-tick pdf decode + coverage spread for the
+    # entropy beta/gamma schedule instead of a second 2000-sample decode
+    # (inputs differ by one observation; loss-trajectory equivalence is
+    # tested). False = the reference's literal pre_train_mp recompute.
+    hyper_from_planner: bool = True
     seed: int = 0
 
     # ---- derived ----

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--method", default="entklerg",
                     choices=["entklerg", "unifklerg", "uniform", "randomWalk"])
     ap.add_argument("--states", default="xyw")
+    ap.add_argument("--backend", default=None, choices=["free", "arm"],
+                    help="simulator backend: 'free' (free-flying EE) or "
+                         "'arm' (7-DOF modified-DH kinematic arm with "
+                         "Jacobian-pinv velocity control, drift, and "
+                         "joint-limit failure modes)")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs")
@@ -97,6 +102,8 @@ def main():
 
     overrides = dict(explr_method=args.method, states=args.states,
                      num_steps=args.steps, seed=args.seed)
+    if args.backend:
+        overrides["sim_backend"] = args.backend
     if args.small:
         overrides.update(
             image_dim=(48, 48, 3), cnn_kernels=(3, 3), cnn_strides=(2, 2),

@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--out", default=None,
                     help="directory for per-combo belief artifacts")
     ap.add_argument("--small", action="store_true")
+    ap.add_argument("--objects", type=int, default=0, metavar="K",
+                    help="use a K-object scene (default: the standard "
+                         "2-object tray; the reference runs several object "
+                         "models per identification run, fingerprint_mp:"
+                         "216-240)")
     args = ap.parse_args()
 
     from ealv_tpu.utils.config import ExperimentConfig
@@ -53,7 +58,13 @@ def main():
             num_learning_opt=10,
         )
     cfg = ExperimentConfig(**overrides)
-    exp = Experiment(cfg, train_calls_per_tick=1, train_every=3)
+    scene0 = None
+    if args.objects > 0:
+        from ealv_tpu.sim.renderer import TrayScene
+        scene0 = TrayScene.make(args.objects, seed=args.seed)
+        print(f"{args.objects}-object scene: "
+              f"{np.round(np.asarray(scene0.obj_xy), 3).tolist()}", flush=True)
+    exp = Experiment(cfg, train_calls_per_tick=1, train_every=3, scene=scene0)
     es = exp.init(seed=args.seed)
     run = jax.jit(lambda s: exp.run_chunk(s, 50))
     t0 = time.perf_counter()

@@ -174,6 +174,30 @@ class TestExperiment:
         assert 0 <= float(info["beta"]) <= 0.01
         assert 0 <= float(info["gamma"]) <= 1.0
 
+    def test_hyper_fold_loss_equivalence(self):
+        # hyper_from_planner reuses the planner's same-tick pdf decode +
+        # coverage spread for the beta/gamma schedule (inputs shifted by
+        # one observation vs the reference's pre_train_mp recompute). The
+        # schedules feed training, so equivalence is asserted on the LOSS
+        # trajectory and on the hyperparameter magnitudes.
+        res = {}
+        for fold in (True, False):
+            exp = tiny_experiment(hyper_from_planner=fold)
+            es = exp.init(seed=0)
+            run = jax.jit(lambda s: exp.run_chunk(s, 30))
+            _, infos = run(es)
+            res[fold] = (np.asarray(infos["loss"]),
+                         np.asarray(infos["gamma"]))
+        lf, gf = res[True]
+        ls, gs = res[False]
+        # same convergence trajectory
+        scale = np.abs(ls[5:]).mean()
+        assert np.abs(lf[5:] - ls[5:]).mean() < 0.1 * scale
+        assert abs(lf[-1] - ls[-1]) < 0.05 * max(abs(ls[-1]), 1e-3)
+        # spreads live on the same scale (both are mean normalized
+        # coverage over near-identical visited-state sets)
+        assert abs(gf[10:].mean() - gs[10:].mean()) < 0.5 * gs[10:].mean()
+
     def test_post_train_chunk(self, run20):
         # post-exploration phase (trainer_ddp.py:202-249): trainer calls
         # with no exploration — learning_ind advances, explr_step/buffer

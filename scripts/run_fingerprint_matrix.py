@@ -39,6 +39,18 @@ def main():
                          "2-object tray; the reference runs several object "
                          "models per identification run, fingerprint_mp:"
                          "216-240)")
+    ap.add_argument("--backend", default="free", choices=["free", "arm"],
+                    help="simulator backend for the learning phase: 'arm' "
+                         "= the 7-DOF kinematic arm where drift and "
+                         "joint-limit saturation occur naturally")
+    ap.add_argument("--host-loop", action="store_true",
+                    help="drive the learning phase through a RobotBridge "
+                         "with the full robustness layer (stuck escape, "
+                         "pause/recover heartbeat) — the deployment shape; "
+                         "recovery events are reported")
+    ap.add_argument("--cluster-every", type=int, default=0,
+                    help="run the online clustering monitor every N "
+                         "learning steps (host-loop phase only)")
     args = ap.parse_args()
 
     from ealv_tpu.utils.config import ExperimentConfig
@@ -57,7 +69,7 @@ def main():
             traj_buffer_capacity=1024, buffer_capacity=1024, batch_size=32,
             num_learning_opt=10,
         )
-    cfg = ExperimentConfig(**overrides)
+    cfg = ExperimentConfig(**overrides, sim_backend=args.backend)
     scene0 = None
     if args.objects > 0:
         from ealv_tpu.sim.renderer import TrayScene
@@ -66,14 +78,48 @@ def main():
               f"{np.round(np.asarray(scene0.obj_xy), 3).tolist()}", flush=True)
     exp = Experiment(cfg, train_calls_per_tick=1, train_every=3, scene=scene0)
     es = exp.init(seed=args.seed)
-    run = jax.jit(lambda s: exp.run_chunk(s, 50))
     t0 = time.perf_counter()
-    for _ in range(max(1, args.learn_steps // 50)):
-        es, infos = run(es)
-    losses = np.asarray(infos["loss"])
-    losses = losses[losses != 0]
-    print(f"{int(es.explr_step)} learning steps in {time.perf_counter()-t0:.0f}s;"
-          f" loss {losses[-1]:.3f}", flush=True)
+    if args.host_loop:
+        # deployment shape: the robustness layer between planner and plant
+        # (drift / joint-limit failures on the arm backend surface here)
+        from ealv_tpu.hw.bridge import SyntheticBridge
+        from ealv_tpu.runtime import HostLoopRunner
+        bridge = SyntheticBridge(exp.env, es.env)
+        runner = HostLoopRunner(exp, bridge)
+        monitor = None
+        if args.cluster_every > 0:
+            from ealv_tpu.fingerprint.monitor import ClusteringMonitor
+            monitor = ClusteringMonitor(model=exp.model,
+                                        robot_lim=cfg.robot_lim, num_pts=600)
+        block = 50
+        infos = None
+        for _ in range(max(1, args.learn_steps // block)):
+            es = runner.run(es, block)
+            if monitor and int(es.explr_step) % max(args.cluster_every, 1) < block:
+                n = int(es.buf.size)
+                res, stable = monitor.update(
+                    es.params, es.buf.x[max(0, n - 6):n],
+                    es.buf.y[max(0, n - 6):n],
+                    jax.random.fold_in(jax.random.PRNGKey(42), n),
+                    int(es.explr_step))
+                print(f"clusters @ {int(es.explr_step)}: "
+                      f"{np.round(np.asarray(res.means[:, :2]), 2).tolist()} "
+                      f"stable={stable}", flush=True)
+        wall = time.perf_counter() - t0
+        print(f"{int(es.explr_step)} host-loop learning steps on "
+              f"'{args.backend}' backend in {wall:.0f}s "
+              f"({int(es.explr_step)/wall:.2f} Hz); recovery events: "
+              f"{runner.events or 'none'}", flush=True)
+        final_loss = float("nan")
+    else:
+        run = jax.jit(lambda s: exp.run_chunk(s, 50))
+        for _ in range(max(1, args.learn_steps // 50)):
+            es, infos = run(es)
+        losses = np.asarray(infos["loss"])
+        losses = losses[losses != 0]
+        print(f"{int(es.explr_step)} learning steps in "
+              f"{time.perf_counter()-t0:.0f}s; loss {losses[-1]:.3f}",
+              flush=True)
 
     # true centers in robot coords over the explr states (w/z = 0)
     scene = es.env.scene
@@ -96,6 +142,14 @@ def main():
         fps_dicts.append(fp)
         print(f"fingerprint {i}: {fp['x'].shape[0]} poses", flush=True)
     fps = FingerprintSet.from_lists(fps_dicts)
+
+    # threshold calibration at this K (min cross-fingerprint separation
+    # shrinks as objects are added; identify.py:79-112)
+    from ealv_tpu.fingerprint.identify import calibrate_thresholds
+    for m in ("L2", "KL", "BC"):
+        th, cl = calibrate_thresholds(fps, m)
+        print(f"calibrated {m}: thresh {float(th):.4f} clip {float(cl):.4f}",
+              flush=True)
 
     rt = FingerprintMatrixRuntime(
         cfg, exp.model, es.params, fps,

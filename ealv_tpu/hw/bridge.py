@@ -65,11 +65,29 @@ class SyntheticBridge(RobotBridge):
         # eager per-step env math costs one dispatch round-trip per op over
         # the TPU tunnel; jit collapses each service call to one program
         import jax
+        import jax.numpy as jnp
         self._step_vel = jax.jit(lambda s, v: env.step_vel(s, v))
         self._step_vel_b = jax.jit(lambda s, v, b: env.step_vel(s, v, b))
         self._step_pose = jax.jit(lambda s, p: env.step_pose(s, p))
         self._step_pose_b = jax.jit(lambda s, p, b: env.step_pose(s, p, b))
-        self._observe = jax.jit(env.observe)
+
+        # Over a tunneled TPU every device->host fetch pays the full
+        # round-trip latency (~30 ms), so observe() returning four buffers
+        # costs 4x that. Pack (pose6, vel6, force, brightness, img) into ONE
+        # flat vector on device and split on host: one fetch per observation.
+        def _observe_packed(s):
+            pose, vel, force, img = env.observe(s)
+            return jnp.concatenate([
+                pose.astype(jnp.float32), vel.astype(jnp.float32),
+                jnp.ravel(force).astype(jnp.float32),
+                jnp.reshape(s.brightness, (1,)).astype(jnp.float32),
+                jnp.ravel(img).astype(jnp.float32),
+            ])
+
+        self._observe = jax.jit(_observe_packed)
+        self._img_shape = tuple(
+            jax.eval_shape(env.observe, env_state)[3].shape)
+        self.last_brightness = 1.0
 
     def klerg_cmd(self, twist6, brightness: float = -1.0) -> bool:
         if self.pause.paused:
@@ -95,9 +113,10 @@ class SyntheticBridge(RobotBridge):
         return np.asarray(self.state.pose)
 
     def observe(self):
-        pose, vel, force, img = self._observe(self.state)
-        return (np.asarray(pose), np.asarray(vel), np.asarray(force),
-                np.asarray(img))
+        flat = np.asarray(self._observe(self.state))  # one device fetch
+        self.last_brightness = float(flat[13])
+        return (flat[:6], flat[6:12], flat[12:13],
+                flat[14:].reshape(self._img_shape))
 
 
 class StaleObservationError(RuntimeError):

@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .agent import Experiment, ExperimentState
@@ -71,8 +72,32 @@ class HostLoopRunner:
             self.pause = getattr(self.bridge, "pause", None) or PauseManager()
         if self.metrics is None:
             self.metrics = MetricsLog(None, echo=False)
-        self._plan = jax.jit(self.exp.plan_step)
-        self._absorb = jax.jit(self.exp.absorb_step)
+        exp = self.exp
+        s_dim = exp.cfg.s_dim
+
+        # Over a tunneled TPU every dispatch/fetch pays ~30 ms, so the step
+        # is built around ONE dispatch per half (plan, absorb) and ONE fetch
+        # for the command: raw host observations go straight into the jitted
+        # programs (the tray->robot conversion runs inside them — an eager
+        # _robot_state_from_obs costs several round-trips), and the plan's
+        # (vel6, b_cmd) pair comes back as a single packed (7,) buffer.
+        def _plan_obs(es, pose6, vel6, b):
+            full_state = exp._robot_state_from_obs(pose6, vel6, b)
+            pstate, vel6_cmd, b_cmd, info = exp.plan_step(es, full_state)
+            cmd7 = jnp.concatenate([
+                vel6_cmd,
+                jnp.full((1,), -1.0) if b_cmd is None
+                else jnp.reshape(b_cmd, (1,)),
+            ])
+            return pstate, cmd7, info
+
+        def _absorb_obs(es, pstate, info, pose6, vel6, b, img, force):
+            robot_state = exp._robot_state_from_obs(pose6, vel6, b)[:s_dim]
+            return exp.absorb_step(es, pstate, info, robot_state, img, force)
+
+        self._plan = jax.jit(_plan_obs)
+        self._absorb = jax.jit(_absorb_obs)
+        self._obs = None  # last sensed (pose6, vel6, force, img), host-side
 
     # ------------------------------------------------------------------
     def hooks(self) -> ControlHooks:
@@ -92,6 +117,7 @@ class HostLoopRunner:
         """Recovery escalation: clear controllers, re-level (random_listener
         parity: ErrorRecoveryActionGoal + EE re-align)."""
         self.bridge.reset()
+        self._obs = None  # pose may have jumped; re-sense before planning
         self._log("recover", "bridge reset + controller re-arm")
 
     # ------------------------------------------------------------------
@@ -108,6 +134,7 @@ class HostLoopRunner:
             np.asarray(goal_pose6), attempt, reset_fn=self._recover,
             yaw_index=yaw_index,
         )
+        self._obs = None  # moved: next step must re-sense
         if not ok:
             self._log("goal_seek_failed",
                       f"goal {np.round(np.asarray(goal_pose6), 3)} "
@@ -117,19 +144,22 @@ class HostLoopRunner:
     # ------------------------------------------------------------------
     def step(self, es: ExperimentState) -> ExperimentState:
         """One explore+learn step through the bridge with failure handling."""
-        cfg = self.exp.cfg
-
         self.heartbeat.tick(self.pause, recover_fn=self._recover)
         if self.pause.paused or self.pause.manual:
             return es  # no motion while paused/manual (sensor_utils :556-578)
 
-        pose6, vel6, force, img = self.bridge.observe()
-        full_state = self._plan_state(pose6, vel6)
-        pstate, cmd_vel6, b_cmd, info = self._plan(es, full_state)
+        # sync observation: reuse the frame sensed after the previous
+        # command (the reference likewise plans from the latest cached
+        # camera-sync state) — one bridge fetch per step, not two
+        if self._obs is None:
+            self._obs = self.bridge.observe()
+        pose6, vel6, _, _ = self._obs
+        pstate, cmd7, info = self._plan(
+            es, np.asarray(pose6), np.asarray(vel6), self._brightness(pose6))
+        cmd7 = np.asarray(cmd7)  # one fetch: [vel6 | brightness command]
 
-        b = float(b_cmd) if b_cmd is not None else -1.0
         try:
-            ok = self.bridge.klerg_cmd(np.asarray(cmd_vel6), b)
+            ok = self.bridge.klerg_cmd(cmd7[:6], float(cmd7[6]))
         except Exception as e:  # service-exception parity (:153-166)
             ok = False
             self._log("cmd_error", repr(e))
@@ -159,14 +189,13 @@ class HostLoopRunner:
                 self.bridge.reset()
                 self._log("stuck_reset", "no force reading; controller reset")
 
-        robot_state = np.asarray(self.exp._robot_state_from_obs(
-            jax.numpy.asarray(pose2), jax.numpy.asarray(vel2),
-            jax.numpy.asarray(self._brightness(pose2)),
-        ))[: cfg.s_dim]
+        f = np.asarray(force2, np.float32).ravel()
         es, tick_info = self._absorb(
-            es, pstate, info, jax.numpy.asarray(robot_state),
-            jax.numpy.asarray(img2), jax.numpy.asarray(force2).reshape(1),
+            es, pstate, info, np.asarray(pose2), np.asarray(vel2),
+            self._brightness(pose2), np.asarray(img2),
+            f[:1] if f.size else np.zeros(1, np.float32),
         )
+        self._obs = (pose2, vel2, force2, img2)
 
         if self.pause.consume_save() and self.save_fn is not None:
             self.save_fn(es)
@@ -184,13 +213,10 @@ class HostLoopRunner:
         return es
 
     # ------------------------------------------------------------------
-    def _plan_state(self, pose6, vel6):
-        return self.exp._robot_state_from_obs(
-            jax.numpy.asarray(pose6), jax.numpy.asarray(vel6),
-            jax.numpy.asarray(self._brightness(pose6)),
-        )
-
     def _brightness(self, pose6):
+        lb = getattr(self.bridge, "last_brightness", None)
+        if lb is not None:  # cached at observe() time: no device fetch
+            return float(lb)
         st = getattr(self.bridge, "state", None)
         if st is not None and hasattr(st, "brightness"):
             return float(st.brightness)

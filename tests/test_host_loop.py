@@ -190,6 +190,30 @@ class TestHostLoop:
         panel.handle("save")
         assert runner.pause.save_requested
 
+    def test_one_observation_per_step_and_cache_invalidation(self, exp):
+        # the tunnel-latency contract: steady-state steps pay ONE bridge
+        # observation (the post-command frame doubles as the next step's
+        # sync frame); recovery/goal-seek moves invalidate the cache
+        bridge, es = make_bridge(exp, seed=8)
+        calls = {"n": 0}
+        orig = bridge.observe
+
+        def counting_observe():
+            calls["n"] += 1
+            return orig()
+
+        bridge.observe = counting_observe
+        runner = HostLoopRunner(exp, bridge)
+        es = runner.step(es)          # cold: sync obs + post-cmd obs
+        assert calls["n"] == 2
+        es = runner.step(es)          # warm: post-cmd obs only
+        es = runner.step(es)
+        assert calls["n"] == 4
+        runner._recover()             # pose may jump: cache dropped
+        assert runner._obs is None
+        es = runner.step(es)
+        assert calls["n"] == 6        # re-sync + post-cmd
+
 
 class _Attr:
     """Auto-vivifying attribute bag for geometry messages."""

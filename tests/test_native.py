@@ -150,6 +150,31 @@ class TestBridges:
         br.pause.pause()
         assert not br.klerg_cmd([0.05, 0, 0, 0, 0, 0])
 
+    def test_synthetic_bridge_packed_observe(self):
+        # observe() is ONE device fetch split on host: shapes/dtypes of the
+        # 4-tuple must match the unpacked env.observe, and the brightness
+        # ride-along is cached host-side for the planner
+        import jax.numpy as jnp
+        from ealv_tpu.utils.config import TRAY_LIM
+        from ealv_tpu.sim import SyntheticEnv
+        from ealv_tpu.hw import SyntheticBridge
+
+        env = SyntheticEnv(tray_lim=tuple(TRAY_LIM[s] for s in "xyzrpw"),
+                           dt=0.04, img_hw=(24, 24))
+        s = env.init(jnp.asarray([0.45, 0.0, 0.3, 3.14, 0, 0]))
+        br = SyntheticBridge(env, s)
+        pose, vel, force, img = br.observe()
+        ep, ev, ef, ei = env.observe(s)
+        assert pose.shape == (6,) and vel.shape == (6,)
+        assert force.shape == np.asarray(ef).shape == (1,)
+        assert img.shape == np.asarray(ei).shape == (24, 24, 3)
+        np.testing.assert_allclose(pose, np.asarray(ep), atol=1e-6)
+        np.testing.assert_allclose(img, np.asarray(ei), atol=1e-6)
+        b0 = br.last_brightness
+        br.klerg_cmd([0, 0, 0, 0, 0, 0], brightness=0.3)
+        br.observe()
+        assert br.last_brightness < b0  # moved toward the 0.3 command
+
     def test_native_bridge_loop(self):
         import time
         from ealv_tpu.hw import NativeBridge

@@ -189,6 +189,10 @@ def main():
                          "N-device mesh (N=1 on the single real chip)")
     ap.add_argument("--skip-stages", action="store_true",
                     help="skip the per-stage breakdown (faster re-runs)")
+    ap.add_argument("--host-loop", action="store_true",
+                    help="additionally measure the deployment-shape rate: "
+                         "HostLoopRunner driving a RobotBridge on the arm "
+                         "backend (per-step dispatches + robustness layer)")
     args = ap.parse_args()
 
     cfg = ExperimentConfig(
@@ -270,6 +274,36 @@ def main():
             f"{t_mesh*1e3:.1f} ms/step = {1.0/t_mesh:.1f} Hz | "
             f"mesh-wrapper overhead {1e3*(t_mesh-best):+.1f} ms/step vs "
             f"mesh=None",
+            file=sys.stderr,
+        )
+
+    # ---------------- optional: host-in-the-loop deployment shape ---------
+    if args.host_loop:
+        import time as _time
+        from ealv_tpu.hw.bridge import SyntheticBridge
+        from ealv_tpu.runtime import HostLoopRunner
+
+        cfg_h = ExperimentConfig(
+            states="xyw", num_target_samples=2000, num_traj_samples=3000,
+            image_dim=(180, 180, 3), batch_size=64, num_learning_opt=25,
+            sim_backend="arm",
+        )
+        exph = Experiment(cfg_h, train_calls_per_tick=1, train_every=3)
+        esh = exph.init(seed=0)
+        bridge = SyntheticBridge(exph.env, esh.env)
+        runner = HostLoopRunner(exph, bridge)
+        for _ in range(6):
+            esh = runner.step(esh)  # warm both jitted halves
+        t0 = _time.perf_counter()
+        n = 30
+        for _ in range(n):
+            esh = runner.step(esh)
+        t_host = (_time.perf_counter() - t0) / n
+        print(
+            f"[bench] HOSTLOOP (arm backend through the RobotBridge + "
+            f"robustness layer, per-step dispatch): {t_host*1e3:.1f} ms/step "
+            f"= {1.0/t_host:.1f} Hz | events "
+            f"{runner.events or 'none'}",
             file=sys.stderr,
         )
 

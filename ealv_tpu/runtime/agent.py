@@ -116,6 +116,7 @@ class Experiment:
             dx=cfg.dx,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             decoder_mode=cfg.decoder_mode,
+            fast_encoder_grads=cfg.fast_encoder_grads,
         )
 
         # planner over position states (double integrator appends vels)

@@ -102,6 +102,12 @@ class ExperimentConfig:
     # reference ConvTranspose2d stack; 'subpixel' computes the same layer as
     # a low-res conv + depth-to-space; 'resize_conv' is upsample+conv
     decoder_mode: str = "conv_transpose"
+    # encoder convs via ops/fast_conv.py: identical forward, but the weight
+    # gradient is computed in space-to-depth layout. Measured LOSS in the
+    # real trainer (51.2 -> 62.2 ms/call: the per-step s2d transform of
+    # fresh activations outweighs the lane-friendly contraction — see
+    # fast_conv.py docstring for the scan-hoisting microbench trap)
+    fast_encoder_grads: bool = False
     # trainer (test_config.yaml:83-104)
     model_lr: float = 1e-3
     batch_size: int = 64

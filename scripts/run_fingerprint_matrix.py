@@ -89,8 +89,19 @@ def main():
         monitor = None
         if args.cluster_every > 0:
             from ealv_tpu.fingerprint.monitor import ClusteringMonitor
-            monitor = ClusteringMonitor(model=exp.model,
-                                        robot_lim=cfg.robot_lim, num_pts=600)
+            from ealv_tpu.control import setup_barrier
+            import jax.numpy as jnp
+            pos_states = "".join(s for s in cfg.states if s == s.lower())
+            barrier, _ = setup_barrier(
+                pos_states, jnp.asarray(cfg.robot_lim),
+                jnp.asarray(cfg.robot_ctrl_lim)[: len(pos_states)],
+                list(range(len(pos_states))),
+            )
+            monitor = ClusteringMonitor(
+                model=exp.model, robot_lim=cfg.robot_lim, num_pts=600,
+                cluster_kwargs=dict(use_optimize_samples=True,
+                                    barrier=barrier, bandwidth=0.3),
+            )
         block = 50
         infos = None
         for _ in range(max(1, args.learn_steps // block)):

@@ -202,14 +202,21 @@ class TestPallasAdam:
 class TestFastConv:
     """Custom-VJP VALID conv (ops/fast_conv.py): forward identical to
     lax.conv_general_dilated; dx/dW match jax autodiff of the plain conv
-    (the dW path is an im2col MXU matmul instead of XLA's tiny-channel
-    conv lowering)."""
+    (the dW path runs in space-to-depth layout for lane-friendly shapes;
+    the im2col variant is the retained negative result)."""
 
+    # shapes exercise s2d pad (H not divisible by s), the k2 slice edge
+    # (k=s: padded s2d rows exceed the k2 window), and k>s
+    @pytest.mark.parametrize("variant", ["s2d", "im2col"])
     @pytest.mark.parametrize("shape", [(2, 17, 17, 3, 5, 3, 2),
-                                       (1, 20, 20, 4, 6, 5, 3)])
-    def test_fwd_and_grads_match_autodiff(self, rng, shape):
+                                       (1, 20, 20, 4, 6, 5, 3),
+                                       (2, 16, 16, 2, 3, 3, 3),
+                                       (1, 13, 11, 1, 2, 1, 1)])
+    def test_fwd_and_grads_match_autodiff(self, rng, shape, variant):
         from jax import lax
-        from ealv_tpu.ops.fast_conv import conv2d_valid
+        from ealv_tpu.ops.fast_conv import conv2d_valid, conv2d_valid_im2col
+        if variant == "im2col":
+            conv2d_valid = conv2d_valid_im2col
         B, H, W, Cin, Cout, k, s = shape
         x = jnp.asarray(rng.normal(size=(B, H, W, Cin)).astype(np.float32))
         w = jnp.asarray(rng.normal(size=(k, k, Cin, Cout)).astype(np.float32))

@@ -81,8 +81,13 @@ class EvalExperiment:
             explr_locs=list(range(len(self.explr_states))),
         )
         tray6 = tuple(TRAY_LIM[s] for s in "xyzrpw")
-        self.env = SyntheticEnv(tray_lim=tray6, dt=cfg.dt / 5.0,
-                                img_hw=cfg.image_dim[:2])
+        if cfg.sim_backend == "arm":
+            from ..sim.arm import ArmEnv
+            self.env = ArmEnv(tray_lim=tray6, dt=cfg.dt / 5.0,
+                              img_hw=cfg.image_dim[:2])
+        else:
+            self.env = SyntheticEnv(tray_lim=tray6, dt=cfg.dt / 5.0,
+                                    img_hw=cfg.image_dim[:2])
         self.scene = scene
         self.use_pose_mode = False
 

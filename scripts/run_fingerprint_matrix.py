@@ -90,7 +90,6 @@ def main():
         if args.cluster_every > 0:
             from ealv_tpu.fingerprint.monitor import ClusteringMonitor
             from ealv_tpu.control import setup_barrier
-            import jax.numpy as jnp
             pos_states = "".join(s for s in cfg.states if s == s.lower())
             barrier, _ = setup_barrier(
                 pos_states, jnp.asarray(cfg.robot_lim),

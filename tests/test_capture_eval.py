@@ -59,6 +59,24 @@ class TestEvalExperiment:
         assert np.isfinite(np.asarray(obs["robot_state"])).all()
         assert obs["image"].shape == (24, 24, 3)
 
+    def test_eval_honors_arm_backend(self, model_params):
+        # capture/identification must run on the same plant the learning
+        # phase used (cfg.sim_backend), not silently on the free-flyer
+        cfg, model, params = model_params
+        from ealv_tpu.sim.arm import ArmEnv
+        cfg_arm = tiny_cfg(sim_backend="arm")
+        target = ExplrDist.create(capacity=8, dim=3).push(
+            jnp.array([0.3, 0.3, 0.0]), jnp.array([0.05, 0.05, 2.0])
+        )
+        ev_exp = EvalExperiment(cfg_arm, lambda ctx, s: ctx.pdf(s))
+        assert isinstance(ev_exp.env, ArmEnv)
+        ev = ev_exp.init(seed=0)
+        tick = jax.jit(ev_exp.tick)
+        for _ in range(5):
+            ev, obs = tick(ev, target)
+        assert int(ev.step) == 5
+        assert np.isfinite(np.asarray(obs["robot_state"])).all()
+
     def test_state_subset_restriction(self, model_params):
         cfg, model, params = model_params
         target = ExplrDist.create(capacity=4, dim=2).push(

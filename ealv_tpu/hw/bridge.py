@@ -177,6 +177,11 @@ class NativeBridge(RobotBridge):
     max_img_age: float = 1.0  # lost-connection threshold (:486-489)
     clock: Callable = time.monotonic
     pause: PauseManager = field(default_factory=PauseManager)
+    # optional peripheral: commanded brightness ('b' explorable state) is
+    # applied through a BrightnessNode (hw/peripherals.py) — the role of the
+    # reference's /update_brightness publish consumed by the
+    # conditional_brightness / lamp_brightness nodes.
+    brightness_node: Optional[object] = None
     _thread: Optional[threading.Thread] = None
     _running: bool = False
 
@@ -237,12 +242,16 @@ class NativeBridge(RobotBridge):
     def klerg_cmd(self, twist6, brightness: float = -1.0) -> bool:
         if self.pause.paused:
             return False
+        if brightness >= 0 and self.brightness_node is not None:
+            self.brightness_node.update(brightness)
         self.mux.switch_mode(self._ControlMode.VELOCITY)
         return self.mux.command_twist(np.asarray(twist6, np.float64))
 
     def klerg_pose(self, pose6, brightness: float = -1.0) -> bool:
         if self.pause.paused:
             return False
+        if brightness >= 0 and self.brightness_node is not None:
+            self.brightness_node.update(brightness)
         self.mux.switch_mode(self._ControlMode.POSE)
         self.mux.command_pose(self.driver.pose_to_matrix(pose6))
         return True

@@ -70,3 +70,21 @@ class TestRunExperimentCLI:
         import re
         m = re.findall(r"learning_ind (\d+)/(\d+)", log)
         assert m and int(m[-1][0]) >= int(m[-1][1])
+
+
+class TestDemoEntry:
+    def test_demo_module_runs(self):
+        """python -m ealv_tpu.runtime.demo: the quickstart entry completes
+        and prints the learning curve + steady-state rate."""
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = ""
+        code = (
+            "import sys, jax; jax.config.update('jax_platforms', 'cpu'); "
+            "from ealv_tpu.runtime.demo import main; "
+            "main(['--steps', '4', '--chunk', '2'])"
+        )
+        r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                           capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "steady-state" in r.stdout
+        assert "loss" in r.stdout

@@ -38,6 +38,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -48,6 +50,77 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 PEAK_BF16_FLOPS = 197e12  # TPU v5e (v5 lite) single chip
+
+
+def _fail_json(stage: str, attempts: list):
+    """The one JSON line on unrecoverable backend failure: value null +
+    structured error record instead of a stack trace (a transient tunnel
+    outage should cost minutes, not the round's artifact)."""
+    print(json.dumps({
+        "metric": "explore_learn_step_rate",
+        "value": None,
+        "unit": "Hz",
+        "vs_baseline": None,
+        "error": {
+            "kind": "backend_unavailable",
+            "stage": stage,
+            "attempts": attempts,
+        },
+    }))
+
+
+def _acquire_backend():
+    """Bounded-retry probe of the TPU backend in a SUBPROCESS (an in-process
+    ``jax.devices()`` on a flaky tunnel can hang indefinitely and poisons the
+    process-wide backend cache on failure). Returns (ok, attempts) where
+    attempts is a list of {t, elapsed_s, outcome} records.
+
+    Knobs (for tests and driver tuning):
+      EALV_BENCH_PROBE_RETRIES  (default 4)
+      EALV_BENCH_PROBE_TIMEOUT  per-attempt seconds (default 90)
+      EALV_BENCH_PROBE_BACKOFF  comma list of sleeps between attempts
+                                (default "5,15,30")
+      EALV_BENCH_PROBE_CMD      override probe argv (tests inject a failing
+                                command to exercise this path)
+    """
+    retries = int(os.environ.get("EALV_BENCH_PROBE_RETRIES", "4"))
+    timeout = float(os.environ.get("EALV_BENCH_PROBE_TIMEOUT", "90"))
+    backoff = [float(x) for x in
+               os.environ.get("EALV_BENCH_PROBE_BACKOFF", "5,15,30").split(",")]
+    import shlex
+    cmd_override = os.environ.get("EALV_BENCH_PROBE_CMD")
+    cmd = (shlex.split(cmd_override) if cmd_override else
+           [sys.executable, "-c",
+            "import jax; d = jax.devices(); print(d[0].platform)"])
+    attempts = []
+    for i in range(retries):
+        t0 = time.time()
+        try:
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=timeout)
+            outcome = ("ok" if r.returncode == 0 else
+                       "rc=%d: %s" % (r.returncode, r.stderr.strip()[-200:]))
+        except subprocess.TimeoutExpired:
+            outcome = f"timeout>{timeout:g}s"
+        except OSError as e:
+            outcome = f"oserror: {e}"
+        attempts.append({"t": round(t0, 1),
+                         "elapsed_s": round(time.time() - t0, 1),
+                         "outcome": outcome})
+        if outcome == "ok":
+            return True, attempts
+        print(f"[bench] backend probe attempt {i+1}/{retries} failed: "
+              f"{outcome}", file=sys.stderr)
+        if i < retries - 1:
+            time.sleep(backoff[min(i, len(backoff) - 1)])
+    return False, attempts
+
+
+def _is_backend_error(e: BaseException) -> bool:
+    msg = str(e)
+    return isinstance(e, RuntimeError) and any(
+        s in msg for s in ("UNAVAILABLE", "Unable to initialize backend",
+                           "DEADLINE_EXCEEDED", "backend"))
 
 
 def _analytic_flops_per_tick(cfg):
@@ -179,9 +252,6 @@ def _stage_breakdown(cfg, exp1, es, t_dispatch, t_inline):
 
 def main():
     import argparse
-    import numpy as np
-    from ealv_tpu.utils.config import ExperimentConfig
-    from ealv_tpu.runtime import Experiment
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", type=int, default=0, metavar="N",
@@ -194,6 +264,31 @@ def main():
                          "HostLoopRunner driving a RobotBridge on the arm "
                          "backend (per-step dispatches + robustness layer)")
     args = ap.parse_args()
+
+    ok, attempts = _acquire_backend()
+    if not ok:
+        _fail_json("probe", attempts)
+        return
+    print(f"[bench] backend probe ok after {len(attempts)} attempt(s)",
+          file=sys.stderr)
+    try:
+        _run_benchmarks(args)
+    except Exception as e:
+        # A mid-run tunnel flake must still yield the structured one-line
+        # JSON; anything that is NOT a backend outage stays loud (a code
+        # regression should fail the run, not hide behind "value: null").
+        if not _is_backend_error(e):
+            raise
+        print(f"[bench] backend failed mid-run: {e}", file=sys.stderr)
+        attempts.append({"t": round(time.time(), 1), "elapsed_s": 0.0,
+                         "outcome": f"midrun: {str(e)[-200:]}"})
+        _fail_json("measure", attempts)
+
+
+def _run_benchmarks(args):
+    import numpy as np
+    from ealv_tpu.utils.config import ExperimentConfig
+    from ealv_tpu.runtime import Experiment
 
     cfg = ExperimentConfig(
         states="xyw",

@@ -1,0 +1,118 @@
+"""bench.py must survive a TPU-backend outage (VERDICT r3 item 1).
+
+Round 3's only driver artifact was lost to a transient tunnel failure:
+``BENCH_r03.json`` recorded ``rc=1`` with a raw stack trace. These tests pin
+the contract that replaces that failure mode:
+
+  * backend acquisition is a bounded-retry SUBPROCESS probe (an in-process
+    ``jax.devices()`` can hang forever on the tunnel),
+  * after the final failed attempt the script still prints ONE parseable
+    JSON line — ``value: null`` plus a structured ``error`` record with the
+    per-attempt outcomes — and exits 0,
+  * a transiently-failing probe recovers within the retry budget.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+if REPO not in sys.path:  # repo root holds bench.py (not an installed pkg)
+    sys.path.insert(0, REPO)
+
+
+def _run_bench(env_extra, timeout=120):
+    env = dict(os.environ)
+    env.update(env_extra)
+    return subprocess.run(
+        [sys.executable, BENCH], capture_output=True, text=True,
+        timeout=timeout, env=env, cwd=REPO)
+
+
+def _probe_script(tmp_path, body):
+    p = tmp_path / "probe.py"
+    p.write_text(body)
+    return f"{sys.executable} {p}"
+
+
+def test_induced_init_failure_yields_structured_json(tmp_path):
+    """Probe command that always fails -> rc=0 + one JSON line with
+    value null and the attempt ledger (no stack trace on stdout)."""
+    r = _run_bench({
+        "EALV_BENCH_PROBE_CMD": _probe_script(
+            tmp_path, "import sys; sys.exit(3)"),
+        "EALV_BENCH_PROBE_RETRIES": "2",
+        "EALV_BENCH_PROBE_TIMEOUT": "10",
+        "EALV_BENCH_PROBE_BACKOFF": "0.1",
+    })
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "explore_learn_step_rate"
+    assert rec["value"] is None
+    assert rec["vs_baseline"] is None
+    assert rec["error"]["kind"] == "backend_unavailable"
+    assert rec["error"]["stage"] == "probe"
+    assert len(rec["error"]["attempts"]) == 2
+    for a in rec["error"]["attempts"]:
+        assert a["outcome"].startswith("rc=3")
+
+
+def test_induced_hang_times_out_per_attempt(tmp_path):
+    """A probe that HANGS (the observed round-3 failure mode: jax.devices()
+    never returns) is bounded by the per-attempt timeout, not forever."""
+    r = _run_bench({
+        "EALV_BENCH_PROBE_CMD": _probe_script(
+            tmp_path, "import time; time.sleep(600)"),
+        "EALV_BENCH_PROBE_RETRIES": "1",
+        "EALV_BENCH_PROBE_TIMEOUT": "2",
+    }, timeout=60)
+    assert r.returncode == 0
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["value"] is None
+    assert rec["error"]["attempts"][0]["outcome"].startswith("timeout")
+
+
+def test_probe_recovers_after_transient_failure(tmp_path):
+    """First attempt fails, second succeeds: the retry loop reports ok."""
+    import bench as bench_mod  # repo-root module
+
+    flag = tmp_path / "failed_once"
+    env = {
+        "EALV_BENCH_PROBE_CMD": _probe_script(
+            tmp_path,
+            "import os, sys\n"
+            f"p = {str(flag)!r}\n"
+            "if os.path.exists(p):\n    sys.exit(0)\n"
+            "open(p, 'w').close()\nsys.exit(1)\n"),
+        "EALV_BENCH_PROBE_RETRIES": "3",
+        "EALV_BENCH_PROBE_TIMEOUT": "10",
+        "EALV_BENCH_PROBE_BACKOFF": "0.05",
+    }
+    old = {k: os.environ.get(k) for k in env}
+    os.environ.update(env)
+    try:
+        ok, attempts = bench_mod._acquire_backend()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    assert ok
+    assert len(attempts) == 2
+    assert attempts[0]["outcome"] != "ok"
+    assert attempts[1]["outcome"] == "ok"
+
+
+def test_backend_error_classifier():
+    import bench as bench_mod
+
+    assert bench_mod._is_backend_error(
+        RuntimeError("Unable to initialize backend 'axon': UNAVAILABLE: ..."))
+    assert bench_mod._is_backend_error(RuntimeError("DEADLINE_EXCEEDED: x"))
+    assert not bench_mod._is_backend_error(ValueError("UNAVAILABLE"))
+    assert not bench_mod._is_backend_error(RuntimeError("shape mismatch"))

@@ -85,8 +85,12 @@ class SyntheticBridge(RobotBridge):
             ])
 
         self._observe = jax.jit(_observe_packed)
-        self._img_shape = tuple(
-            jax.eval_shape(env.observe, env_state)[3].shape)
+        # derive the packed split offsets from the env's actual observation
+        # shapes (a multi-element force must not silently shift the
+        # brightness slot or corrupt the image reshape)
+        obs_shapes = jax.eval_shape(env.observe, env_state)
+        self._force_size = int(np.prod(obs_shapes[2].shape)) or 1
+        self._img_shape = tuple(obs_shapes[3].shape)
         self.last_brightness = 1.0
 
     def klerg_cmd(self, twist6, brightness: float = -1.0) -> bool:
@@ -114,9 +118,10 @@ class SyntheticBridge(RobotBridge):
 
     def observe(self):
         flat = np.asarray(self._observe(self.state))  # one device fetch
-        self.last_brightness = float(flat[13])
-        return (flat[:6], flat[6:12], flat[12:13],
-                flat[14:].reshape(self._img_shape))
+        nf = self._force_size
+        self.last_brightness = float(flat[12 + nf])
+        return (flat[:6], flat[6:12], flat[12:12 + nf],
+                flat[13 + nf:].reshape(self._img_shape))
 
 
 class StaleObservationError(RuntimeError):
@@ -250,6 +255,11 @@ class NativeBridge(RobotBridge):
     def klerg_pose(self, pose6, brightness: float = -1.0) -> bool:
         if self.pause.paused:
             return False
+        if self._native_loop is not None and not self._native_loop.has_pose:
+            # the C loop's pose branch no-ops without driver pose callbacks
+            # (rt_loop.cpp:121-124): reject loudly rather than report a
+            # success the robot will never execute
+            return False
         if brightness >= 0 and self.brightness_node is not None:
             self.brightness_node.update(brightness)
         self.mux.switch_mode(self._ControlMode.POSE)
@@ -286,6 +296,21 @@ class NativeBridge(RobotBridge):
         pose6, vel6, wrench6 = state
         force = np.linalg.norm(np.asarray(wrench6)[:3], keepdims=True)
         return np.asarray(pose6), np.asarray(vel6), force, img
+
+    def state_latest(self):
+        """Freshest (pose6, vel6) from the live 1 kHz state ring, or None
+        before the loop starts. The planner-facing view: the reference's
+        continuously-refreshed ROS caches always hand the planner the
+        newest pose/vel, while ``observe`` stays camera-stamp-aligned."""
+        if self._native_loop is not None:
+            hit = self._native_loop.state_latest()
+            if hit is not None:
+                return np.asarray(hit[1]), np.asarray(hit[2])
+        else:
+            _, state = self._state_cache.latest()
+            if state is not None:
+                return np.asarray(state[0]), np.asarray(state[1])
+        return None
 
     def reset(self):
         self.mux.switch_mode(self._ControlMode.VELOCITY)

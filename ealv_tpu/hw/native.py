@@ -221,6 +221,7 @@ class NativeLoop:
         self._mux = mux      # keep alive: the loop holds a raw pointer
         self._plant = plant
         self._cbs = []       # keep ctypes callbacks alive
+        self.has_pose = True  # whether pose-mode ticks can actually act
         if plant is not None:
             self._h = lib.ealv_loop_create_sil(mux._h, dt, plant._h)
         else:
@@ -240,8 +241,14 @@ class NativeLoop:
                 for i in range(16):
                     m[i] = out[i]
 
+            # without both callbacks the C loop's pose branch is a no-op
+            # (rt_loop.cpp:121-124 guards on non-NULL vtable entries);
+            # record it so callers can REJECT pose commands instead of
+            # letting klerg_pose appear to succeed while the robot never
+            # moves
             has_pose = hasattr(driver, "apply_pose") and hasattr(
                 driver, "pose_matrix")
+            self.has_pose = has_pose
             self._cbs = [
                 _STATE_FN(state_cb), _APPLY_FN(vel_cb),
                 _APPLY_FN(pose_cb) if has_pose else _APPLY_FN(0),

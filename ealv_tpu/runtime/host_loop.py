@@ -55,6 +55,15 @@ class HostLoopRunner:
 
     exp: Experiment
     bridge: object
+    # Pipelined stepping (default): the plan for step t+1 is computed INSIDE
+    # the same device program that absorbs step t's observation, so each
+    # step pays one observe fetch + one (overlapped) command fetch instead
+    # of three serialized tunnel round-trips. The planner consumes exactly
+    # the same observation it would in serial mode (the one cached at the
+    # end of the previous step) — no added staleness; the reference's async
+    # design likewise never blocks control on anything
+    # (trainer_ddp.py:117-131, main_async.py:62-78).
+    pipeline: bool = True
     metrics: Optional[MetricsLog] = None
     stuck: StuckDetector = field(default_factory=StuckDetector)
     pause: Optional[PauseManager] = None
@@ -95,9 +104,31 @@ class HostLoopRunner:
             robot_state = exp._robot_state_from_obs(pose6, vel6, b)[:s_dim]
             return exp.absorb_step(es, pstate, info, robot_state, img, force)
 
+        # fused absorb(t) + plan(t+1): one dispatch per step in pipeline
+        # mode. ``plan_pose6/plan_vel6`` let the plan consume a FRESHER
+        # state than the camera-stamped one being absorbed (NativeBridge's
+        # live 1 kHz ring — the reference's continuously-refreshed caches);
+        # on bridges without a live loop they are the same arrays.
+        def _absorb_plan_obs(es, pstate, info, pose6, vel6, b, img, force,
+                             plan_pose6, plan_vel6, plan_b):
+            robot_state = exp._robot_state_from_obs(pose6, vel6, b)[:s_dim]
+            es, tick_info = exp.absorb_step(es, pstate, info, robot_state,
+                                            img, force)
+            full_state = exp._robot_state_from_obs(
+                plan_pose6, plan_vel6, plan_b)
+            pstate2, vel6_cmd, b_cmd, info2 = exp.plan_step(es, full_state)
+            cmd7 = jnp.concatenate([
+                vel6_cmd,
+                jnp.full((1,), -1.0) if b_cmd is None
+                else jnp.reshape(b_cmd, (1,)),
+            ])
+            return es, pstate2, cmd7, info2, tick_info
+
         self._plan = jax.jit(_plan_obs)
         self._absorb = jax.jit(_absorb_obs)
+        self._absorb_plan = jax.jit(_absorb_plan_obs)
         self._obs = None  # last sensed (pose6, vel6, force, img), host-side
+        self._pending = None  # pipelined (pstate, info, cmd7 device array)
 
     # ------------------------------------------------------------------
     def hooks(self) -> ControlHooks:
@@ -118,6 +149,7 @@ class HostLoopRunner:
         parity: ErrorRecoveryActionGoal + EE re-align)."""
         self.bridge.reset()
         self._obs = None  # pose may have jumped; re-sense before planning
+        self._pending = None  # any in-flight plan is now stale
         self._log("recover", "bridge reset + controller re-arm")
 
     # ------------------------------------------------------------------
@@ -135,6 +167,7 @@ class HostLoopRunner:
             yaw_index=yaw_index,
         )
         self._obs = None  # moved: next step must re-sense
+        self._pending = None
         if not ok:
             self._log("goal_seek_failed",
                       f"goal {np.round(np.asarray(goal_pose6), 3)} "
@@ -148,15 +181,23 @@ class HostLoopRunner:
         if self.pause.paused or self.pause.manual:
             return es  # no motion while paused/manual (sensor_utils :556-578)
 
-        # sync observation: reuse the frame sensed after the previous
-        # command (the reference likewise plans from the latest cached
-        # camera-sync state) — one bridge fetch per step, not two
-        if self._obs is None:
-            self._obs = self.bridge.observe()
-        pose6, vel6, _, _ = self._obs
-        pstate, cmd7, info = self._plan(
-            es, np.asarray(pose6), np.asarray(vel6), self._brightness(pose6))
-        cmd7 = np.asarray(cmd7)  # one fetch: [vel6 | brightness command]
+        if self.pipeline and self._pending is not None:
+            # steady state: the plan was dispatched fused with the previous
+            # absorb, and its host copy has been in flight since then
+            pstate, info, cmd7_dev = self._pending
+            self._pending = None
+            cmd7 = np.asarray(cmd7_dev)
+        else:
+            # prime (first step, or after recover/goal-seek/pause): plan
+            # from the latest cached camera-sync observation, as serial
+            # mode always does
+            if self._obs is None:
+                self._obs = self.bridge.observe()
+            pose6, vel6, _, _ = self._obs
+            pstate, cmd7, info = self._plan(
+                es, np.asarray(pose6), np.asarray(vel6),
+                self._brightness(pose6))
+            cmd7 = np.asarray(cmd7)  # one fetch: [vel6 | brightness command]
 
         try:
             ok = self.bridge.klerg_cmd(cmd7[:6], float(cmd7[6]))
@@ -190,11 +231,29 @@ class HostLoopRunner:
                 self._log("stuck_reset", "no force reading; controller reset")
 
         f = np.asarray(force2, np.float32).ravel()
-        es, tick_info = self._absorb(
-            es, pstate, info, np.asarray(pose2), np.asarray(vel2),
-            self._brightness(pose2), np.asarray(img2),
-            f[:1] if f.size else np.zeros(1, np.float32),
-        )
+        f = f[:1] if f.size else np.zeros(1, np.float32)
+        if self.pipeline:
+            # plan for the NEXT step rides the same dispatch as this absorb;
+            # on a live-loop bridge it consumes the freshest ring state
+            # (the reference's continuously-refreshed pose/vel caches)
+            plan_pose, plan_vel = np.asarray(pose2), np.asarray(vel2)
+            fresh = getattr(self.bridge, "state_latest", None)
+            if fresh is not None:
+                latest = fresh()
+                if latest is not None:
+                    plan_pose, plan_vel = latest
+            es, pstate2, cmd7_next, info2, tick_info = self._absorb_plan(
+                es, pstate, info, np.asarray(pose2), np.asarray(vel2),
+                self._brightness(pose2), np.asarray(img2), f,
+                plan_pose, plan_vel, self._brightness(plan_pose),
+            )
+            cmd7_next.copy_to_host_async()  # overlap with robot motion
+            self._pending = (pstate2, info2, cmd7_next)
+        else:
+            es, tick_info = self._absorb(
+                es, pstate, info, np.asarray(pose2), np.asarray(vel2),
+                self._brightness(pose2), np.asarray(img2), f,
+            )
         self._obs = (pose2, vel2, force2, img2)
 
         if self.pause.consume_save() and self.save_fn is not None:
@@ -217,6 +276,14 @@ class HostLoopRunner:
         lb = getattr(self.bridge, "last_brightness", None)
         if lb is not None:  # cached at observe() time: no device fetch
             return float(lb)
+        # NativeBridge: the brightness actually applied to the lamp/camera
+        # comes back from the BrightnessNode (the reference syncs the
+        # published /usb_cam/brightness into the state vector,
+        # sensor_utils.py:479-547) — without this the model would see a
+        # constant 1.0 while the physical brightness varies
+        bn = getattr(self.bridge, "brightness_node", None)
+        if bn is not None:
+            return float(bn.current)
         st = getattr(self.bridge, "state", None)
         if st is not None and hasattr(st, "brightness"):
             return float(st.brightness)

@@ -215,6 +215,85 @@ class TestHostLoop:
         assert calls["n"] == 6        # re-sync + post-cmd
 
 
+@pytest.mark.slow
+class TestPipelinedHostLoop:
+    """The pipelined step (plan t+1 fused into absorb t's dispatch) must be
+    a pure latency optimization: identical commands, identical trajectory,
+    same robustness behavior as the serial path."""
+
+    @pytest.fixture(scope="class")
+    def exp(self):
+        return tiny_experiment()
+
+    def test_pipeline_matches_serial_trajectory(self, exp):
+        es0 = exp.init(seed=9)
+        b_p = SyntheticBridge(exp.env, es0.env)
+        b_s = SyntheticBridge(exp.env, es0.env)
+        r_p = HostLoopRunner(exp, b_p, pipeline=True)
+        r_s = HostLoopRunner(exp, b_s, pipeline=False)
+        e_p, e_s = es0, es0
+        for _ in range(6):
+            e_p = r_p.step(e_p)
+            e_s = r_s.step(e_s)
+        assert int(e_p.explr_step) == int(e_s.explr_step) == 6
+        np.testing.assert_allclose(np.asarray(b_p.state.pose),
+                                   np.asarray(b_s.state.pose), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(e_p.buf.x[:6]),
+                                   np.asarray(e_s.buf.x[:6]), atol=1e-5)
+
+    def test_pipeline_invalidated_on_cmd_failure(self, exp):
+        env0 = exp.init(seed=10).env
+        bridge = FailingBridge(exp.env, env0, fail_after=2)
+        runner = HostLoopRunner(
+            exp, bridge, pipeline=True,
+            heartbeat=RecoveryHeartbeat(period_s=100.0, timeout_s=0.0))
+        es = exp.init(seed=10)
+        es = runner.step(es)
+        es = runner.step(es)
+        assert runner._pending is not None  # steady-state pipeline primed
+        es = runner.step(es)  # command fails -> pause, plan discarded
+        assert runner.pause.paused
+        assert runner._pending is None
+        es = runner.step(es)  # heartbeat arms
+        es = runner.step(es)  # heartbeat recovers; runner re-primes
+        assert not runner.pause.paused
+        es = runner.step(es)
+        assert int(es.explr_step) >= 3
+
+    def test_pipeline_survives_stuck_escape(self, exp):
+        env0 = exp.init(seed=11).env
+        bridge = WedgedBridge(exp.env, env0, wedge_after=3)
+        runner = HostLoopRunner(exp, bridge, pipeline=True)
+        es = runner.run(exp.init(seed=11), 12)
+        assert "stuck_escape" in runner.events
+        assert bridge.unwedged_by_escape
+        assert int(es.explr_step) == 12
+
+    def test_recover_clears_pending(self, exp):
+        bridge, es = make_bridge(exp, seed=12)
+        runner = HostLoopRunner(exp, bridge, pipeline=True)
+        es = runner.step(es)
+        assert runner._pending is not None
+        runner._recover()
+        assert runner._pending is None and runner._obs is None
+
+    def test_brightness_observed_back_from_node(self, exp):
+        # ADVICE r3 (medium): on the NativeBridge path the commanded
+        # brightness must be observed back through the BrightnessNode —
+        # the reference syncs /usb_cam/brightness into the state vector
+        # (sensor_utils.py:479-547); a constant 1.0 would blind the model
+        # to the physical lamp state.
+        class _Node:
+            current = 0.37
+
+        class _Bridge:
+            brightness_node = _Node()
+            pause = None
+
+        runner = HostLoopRunner(exp, _Bridge())
+        assert runner._brightness(np.zeros(6)) == pytest.approx(0.37)
+
+
 class _Attr:
     """Auto-vivifying attribute bag for geometry messages."""
     def __init__(self):

@@ -212,6 +212,40 @@ class TestBridges:
         # default clock -> the C++ RtLoop paced this run; check its stats
         s = br.loop_stats()
         assert s is not None and s["ticks"] > 0
+        # live 1 kHz ring exposes the freshest (pose6, vel6) for planning
+        latest = br.state_latest()
+        assert latest is not None
+        np.testing.assert_allclose(latest[0][:3], pose[:3], atol=1e-2)
+
+    def test_pose_rejected_without_pose_interface(self):
+        # ADVICE r3: the C loop's pose branch silently no-ops when the
+        # driver has no apply_pose/pose_matrix (rt_loop.cpp:121-124 NULL
+        # vtable guard) — klerg_pose must REJECT instead of reporting a
+        # success the robot never executes.
+        import time
+        from ealv_tpu.hw import NativeBridge
+
+        class VelOnlyDriver:
+            def __init__(self):
+                self.pose = np.zeros(6)
+
+            def state(self):
+                return self.pose.copy(), np.zeros(6), np.zeros(6)
+
+            def apply_velocity(self, twist):
+                self.pose = self.pose + np.asarray(twist) * 1e-3
+
+            def pose_to_matrix(self, pose6):
+                return np.eye(4).reshape(16)
+
+        br = NativeBridge(driver=VelOnlyDriver())
+        br.start()
+        try:
+            assert not br._native_loop.has_pose
+            assert br.klerg_cmd([0.01, 0, 0, 0, 0, 0])  # velocity still fine
+            assert not br.klerg_pose(np.zeros(6))  # pose loudly rejected
+        finally:
+            br.stop()
 
 
 class TestRtLoop:

@@ -42,9 +42,28 @@ def _jit_update(model, fps, cfg, dist_method: str, error_mode: bool):
     return jax.jit(f)
 
 
+def _belief_entropies(beliefs_k):
+    """Entropy of each object's belief grid (K,): high = unlocalized.
+
+    The excess mass over the grid minimum is what localizes an object, so
+    entropy is taken over (prior - min) plus a small uniform floor — an
+    exactly-flat belief (fresh, or all-suppressed) then scores the maximum
+    log(G), and a belief whose excess concentrates in one region scores
+    low, regardless of the prior's absolute offset."""
+    ents = []
+    for b in beliefs_k:
+        p = b.pdf_grid()
+        p = p - jnp.min(p)
+        p = p + 1e-3 * jnp.max(p) + 1e-9  # floor: flat stays maximal
+        p = p / jnp.sum(p)
+        ents.append(-jnp.sum(p * jnp.log(p)))
+    return jnp.stack(ents)
+
+
 def _fused_run_program(ev_exp, model, fps, cfg, combos, seek_combo: int,
                        seek_fp: int, update_tdist_step: int,
-                       update_every: int, n_steps: int):
+                       update_every: int, n_steps: int,
+                       seek_mode: str = "fixed"):
     """The WHOLE identification run as one device program: every scan
     iteration does the explore tick plus the identify + relative-pose
     compose + belief fusion of every (dist x error) combo, with the
@@ -52,13 +71,34 @@ def _fused_run_program(ev_exp, model, fps, cfg, combos, seek_combo: int,
     dispatch and one host transfer per run, vs the reference's 1 explorer
     + N worker processes polling a shared ring at ~3.25 Hz/combo
     (test_fingerprint_main.py:77-169) and vs this file's previous
-    1 + N_combos dispatches per observation."""
+    1 + N_combos dispatches per observation.
+
+    ``seek_mode``:
+      * ``"fixed"``   — adopt the ``seek_fp`` fingerprint's belief
+        (reference parity: the explorer swaps in ONE worker's dist,
+        test_fingerprint_main.py:262-268).
+      * ``"uncertain"`` — each step adopt the belief of the CURRENTLY
+        least-localized object (argmax belief-grid entropy). The reference
+        cannot do this — its adopted dist lives in another process — but
+        the fused program owns every per-object belief in-device, so
+        exploration time flows to whichever object still needs it
+        (fixes the K=3 weakness where the single adopted object localizes
+        and the rest starve; VERDICT r3 weak #3)."""
 
     def run_fn(params, ev, beliefs):
         def body(carry, _):
             ev, beliefs = carry
             step = ev.step
-            seek_b = beliefs[seek_combo][seek_fp]
+            if seek_mode == "uncertain":
+                ents = _belief_entropies(beliefs[seek_combo])
+                k_star = jnp.argmax(ents)
+                # in-device object select: stack each leaf over K, index
+                seek_b = jax.tree.map(
+                    lambda *xs: jnp.stack(xs)[k_star],
+                    *beliefs[seek_combo],
+                )
+            else:
+                seek_b = beliefs[seek_combo][seek_fp]
             neutral = seek_b.replace(
                 prior=jnp.full_like(seek_b.prior, 0.5),
                 prior_var=jnp.full_like(seek_b.prior_var, 2.0),
@@ -201,6 +241,12 @@ class FingerprintMatrixRuntime:
     combos: tuple = (("L2", False), ("KL", False), ("BC", False), ("L2", True))
     seek_combo: int = 0  # which combo's belief drives exploration
     seek_fingerprint: int = 0
+    # "fixed": adopt seek_fingerprint's belief (reference parity,
+    # test_fingerprint_main.py:262-268); "uncertain": adopt the belief of
+    # the currently least-localized object (argmax belief entropy,
+    # re-evaluated in-device every step) — active re-localization the
+    # reference's process split cannot express
+    seek_mode: str = "fixed"
     update_tdist_step: int = 50
     scene: object = None
     beliefs: dict = field(default_factory=dict)  # combo key -> [beliefs x K]
@@ -233,7 +279,7 @@ class FingerprintMatrixRuntime:
         observation — the whole run is ONE fused scan (single dispatch,
         single host transfer). Returns (beliefs dict, history)."""
         ev = self._ev.init(seed=seed)
-        prog_key = (n_steps, update_every)
+        prog_key = (n_steps, update_every, self.seek_mode)
         if getattr(self, "_run_cache", None) is None:
             self._run_cache = {}
         if prog_key not in self._run_cache:
@@ -241,6 +287,7 @@ class FingerprintMatrixRuntime:
                 self._ev, self.model, self.fps, self.cfg, self.combos,
                 self.seek_combo, self.seek_fingerprint,
                 self.update_tdist_step, update_every, n_steps,
+                seek_mode=self.seek_mode,
             )
         beliefs_in = tuple(
             tuple(self.beliefs[self.combo_key(m, e)]) for m, e in self.combos

@@ -48,6 +48,13 @@ def main():
                          "with the full robustness layer (stuck escape, "
                          "pause/recover heartbeat) — the deployment shape; "
                          "recovery events are reported")
+    ap.add_argument("--seek-mode", default="fixed",
+                    choices=["fixed", "uncertain"],
+                    help="'fixed' adopts one fingerprint's belief as the "
+                         "exploration target (reference parity, "
+                         "test_fingerprint_main.py:262-268); 'uncertain' "
+                         "re-targets the least-localized object every step "
+                         "(argmax belief entropy, in-device)")
     ap.add_argument("--cluster-every", type=int, default=0,
                     help="run the online clustering monitor every N "
                          "learning steps (host-loop phase only)")
@@ -164,7 +171,7 @@ def main():
     rt = FingerprintMatrixRuntime(
         cfg, exp.model, es.params, fps,
         combos=(("L2", False), ("KL", False), ("BC", False), ("L2", True)),
-        seek_combo=0, seek_fingerprint=0,
+        seek_combo=0, seek_fingerprint=0, seek_mode=args.seek_mode,
         update_tdist_step=max(10, args.id_steps // 6), scene=scene,
     )
     t0 = time.perf_counter()

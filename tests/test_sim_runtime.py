@@ -111,7 +111,7 @@ class TestConfig:
         assert cfg.tray_lim.shape == (3, 2)
 
 
-def tiny_experiment(**kw):
+def tiny_experiment(train_calls_per_tick=1, **kw):
     cfg = ExperimentConfig(
         states="xyw",
         image_dim=(24, 24, 3),
@@ -126,7 +126,7 @@ def tiny_experiment(**kw):
         num_learning_opt=2,
         **kw,
     )
-    return Experiment(cfg, train_calls_per_tick=1)
+    return Experiment(cfg, train_calls_per_tick=train_calls_per_tick)
 
 
 @pytest.mark.slow
@@ -196,6 +196,28 @@ class TestExperiment:
         assert abs(lf[-1] - ls[-1]) < 0.05 * max(abs(ls[-1]), 1e-3)
         # spreads live on the same scale (both are mean normalized
         # coverage over near-identical visited-state sets)
+        assert abs(gf[10:].mean() - gs[10:].mean()) < 0.5 * gs[10:].mean()
+
+    def test_hyper_fold_loss_equivalence_multicall(self):
+        # ADVICE r3: with train_calls_per_tick > 1 the fold freezes
+        # grade/spread across a tick's inner trainer calls, while the
+        # reference-literal path re-decodes with the updated params per
+        # call (pre_train_mp per trainer call). The schedules only feed
+        # beta/gamma, so the loss trajectory must still agree.
+        res = {}
+        for fold in (True, False):
+            exp = tiny_experiment(train_calls_per_tick=3,
+                                  hyper_from_planner=fold)
+            es = exp.init(seed=0)
+            run = jax.jit(lambda s: exp.run_chunk(s, 30))
+            _, infos = run(es)
+            res[fold] = (np.asarray(infos["loss"]),
+                         np.asarray(infos["gamma"]))
+        lf, gf = res[True]
+        ls, gs = res[False]
+        scale = np.abs(ls[5:]).mean()
+        assert np.abs(lf[5:] - ls[5:]).mean() < 0.1 * scale
+        assert abs(lf[-1] - ls[-1]) < 0.05 * max(abs(ls[-1]), 1e-3)
         assert abs(gf[10:].mean() - gs[10:].mean()) < 0.5 * gs[10:].mean()
 
     def test_post_train_chunk(self, run20):

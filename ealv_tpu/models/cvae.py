@@ -49,18 +49,22 @@ def conv_output_dims(hw, kernels, strides):
 
 class _FastValidConv(nn.Module):
     """nn.Conv(padding=VALID) drop-in (same 'kernel'/'bias' param tree, same
-    lecun-normal init) computing through ops.fast_conv.conv2d_valid — the
-    custom-VJP conv whose weight gradient is an im2col MXU matmul."""
+    lecun-normal init) computing through a custom-VJP conv from
+    ops.fast_conv whose weight-gradient schedule is selected by
+    ``variant``: 's2d' (space-to-depth re-layout), 'im2col' (MXU patch
+    matmul), or 'pallas' (direct in-VMEM patch kernel)."""
 
     features: int
     kernel: int
     stride: int
     dtype: jnp.dtype = jnp.float32
+    variant: object = "s2d"
 
     @nn.compact
     def __call__(self, x):
-        from ..ops.fast_conv import conv2d_valid
+        from ..ops.fast_conv import CONV_VARIANTS
 
+        conv = CONV_VARIANTS[self.variant]
         k = self.kernel
         w = self.param(
             "kernel", nn.initializers.lecun_normal(),
@@ -68,8 +72,7 @@ class _FastValidConv(nn.Module):
         )
         b = self.param("bias", nn.initializers.zeros, (self.features,),
                        jnp.float32)
-        y = conv2d_valid(x.astype(self.dtype), w.astype(self.dtype),
-                         self.stride)
+        y = conv(x.astype(self.dtype), w.astype(self.dtype), self.stride)
         return y + b.astype(self.dtype)
 
 
@@ -107,11 +110,12 @@ class CVAE(nn.Module):
     z_mem: int = 5  # z-ensemble size (build_z_buffer z_mem=5)
     compute_dtype: jnp.dtype = jnp.float32
     # encoder convs via ops/fast_conv.py: identical forward + params, but
-    # the weight-gradient is an im2col matmul instead of XLA's tiny-channel
-    # conv lowering. Measured LOSS at production sizes (3.12 vs 2.14 ms/SGD
-    # step — the materialized patches cost more than the slow dW they
-    # replace), so off by default; kept as a recorded negative result.
-    fast_encoder_grads: bool = False
+    # the weight-gradient schedule is replaced. False = XLA's native
+    # lowering (default). True/'s2d' = space-to-depth re-layout and
+    # 'im2col' = materialized patch matmul — both measured LOSSES at
+    # production sizes (ARCHITECTURE §4), kept as recorded negatives.
+    # 'pallas' = the direct in-VMEM patch kernel (ops/pallas_wgrad.py).
+    fast_encoder_grads: object = False
     # image decoder family: 'conv_transpose' mirrors the reference's
     # ConvTranspose2d stack; 'resize_conv' = nearest-upsample + stride-1
     # conv — same capacity per layer, avoids XLA's slow transposed-conv
@@ -129,7 +133,7 @@ class CVAE(nn.Module):
         conv_cls = _FastValidConv if self.fast_encoder_grads else None
         self.enc_convs = [
             (conv_cls(features=c, kernel=k, stride=s, dtype=self.compute_dtype,
-                      name=f"enc_conv{i}")
+                      variant=self.fast_encoder_grads, name=f"enc_conv{i}")
              if conv_cls else
              nn.Conv(c, (k, k), strides=(s, s), padding="VALID",
                      dtype=self.compute_dtype, name=f"enc_conv{i}"))

@@ -181,3 +181,42 @@ def _bwd_im2col(stride: int, res, cot):
 
 
 conv2d_valid_im2col.defvjp(_fwd_im2col, _bwd_im2col)
+
+
+# ---------------------------------------------------------------------------
+# Pallas direct-wgrad variant (VERDICT r3 item 3): in-VMEM patch building
+# from phase planes — x and the cotangent each read from HBM exactly once,
+# no materialized transform. See ops/pallas_wgrad.py for the kernel and the
+# roofline analysis; tests/test_kernels.py::TestPallasWgrad for exactness.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv2d_valid_pallas(x, w, stride: int):
+    """Same forward; backward computes dW with the direct Pallas kernel."""
+    return lax.conv_general_dilated(
+        x, w, window_strides=(stride, stride), padding="VALID",
+        dimension_numbers=_DN,
+    )
+
+
+def _fwd_pallas(x, w, stride: int):
+    return conv2d_valid_pallas(x, w, stride), (x, w)
+
+
+def _bwd_pallas(stride: int, res, cot):
+    from .pallas_wgrad import conv_wgrad_direct
+
+    x, w = res
+    dw = conv_wgrad_direct(x, cot, k=w.shape[0], stride=stride).astype(w.dtype)
+    dx = _dx_conv_transpose(cot, w, x.shape, stride).astype(x.dtype)
+    return dx, dw
+
+
+conv2d_valid_pallas.defvjp(_fwd_pallas, _bwd_pallas)
+
+CONV_VARIANTS = {
+    True: conv2d_valid,  # bool back-compat: the s2d form
+    "s2d": conv2d_valid,
+    "im2col": conv2d_valid_im2col,
+    "pallas": conv2d_valid_pallas,
+}

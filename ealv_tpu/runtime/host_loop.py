@@ -179,6 +179,10 @@ class HostLoopRunner:
         """One explore+learn step through the bridge with failure handling."""
         self.heartbeat.tick(self.pause, recover_fn=self._recover)
         if self.pause.paused or self.pause.manual:
+            # the operator may move the robot while paused/manual: any
+            # in-flight plan (and the cached frame it came from) is stale
+            self._pending = None
+            self._obs = None
             return es  # no motion while paused/manual (sensor_utils :556-578)
 
         if self.pipeline and self._pending is not None:

@@ -106,8 +106,9 @@ class ExperimentConfig:
     # gradient is computed in space-to-depth layout. Measured LOSS in the
     # real trainer (51.2 -> 62.2 ms/call: the per-step s2d transform of
     # fresh activations outweighs the lane-friendly contraction — see
-    # fast_conv.py docstring for the scan-hoisting microbench trap)
-    fast_encoder_grads: bool = False
+    # fast_conv.py docstring for the scan-hoisting microbench trap).
+    # 'pallas' selects the direct in-VMEM patch kernel (ops/pallas_wgrad.py)
+    fast_encoder_grads: object = False
     # trainer (test_config.yaml:83-104)
     model_lr: float = 1e-3
     batch_size: int = 64

@@ -207,16 +207,15 @@ class TestFastConv:
 
     # shapes exercise s2d pad (H not divisible by s), the k2 slice edge
     # (k=s: padded s2d rows exceed the k2 window), and k>s
-    @pytest.mark.parametrize("variant", ["s2d", "im2col"])
+    @pytest.mark.parametrize("variant", ["s2d", "im2col", "pallas"])
     @pytest.mark.parametrize("shape", [(2, 17, 17, 3, 5, 3, 2),
                                        (1, 20, 20, 4, 6, 5, 3),
                                        (2, 16, 16, 2, 3, 3, 3),
                                        (1, 13, 11, 1, 2, 1, 1)])
     def test_fwd_and_grads_match_autodiff(self, rng, shape, variant):
         from jax import lax
-        from ealv_tpu.ops.fast_conv import conv2d_valid, conv2d_valid_im2col
-        if variant == "im2col":
-            conv2d_valid = conv2d_valid_im2col
+        from ealv_tpu.ops.fast_conv import CONV_VARIANTS
+        conv2d_valid = CONV_VARIANTS[variant]
         B, H, W, Cin, Cout, k, s = shape
         x = jnp.asarray(rng.normal(size=(B, H, W, Cin)).astype(np.float32))
         w = jnp.asarray(rng.normal(size=(k, k, Cin, Cout)).astype(np.float32))
@@ -253,3 +252,46 @@ class TestFastConv:
         assert abs(float(l0 - l1)) < 1e-5
         for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             np.testing.assert_allclose(b, a, atol=1e-6)
+
+    def test_model_grads_match_pallas_variant(self, rng):
+        # the direct Pallas wgrad wired through the whole model must give
+        # the same gradients as XLA's native encoder (interpret mode on CPU)
+        from ealv_tpu.models import CVAE, cvae_loss
+        kw = dict(img_dim=(24, 24, 3), z_dim=8, s_dim=2, hidden_dim=(32, 16),
+                  cnn_kernels=(3, 3), cnn_strides=(2, 2), cnn_channels=(4, 6))
+        m_fast = CVAE(fast_encoder_grads="pallas", **kw)
+        m_ref = CVAE(fast_encoder_grads=False, **kw)
+        key = jax.random.PRNGKey(0)
+        p = m_ref.init({"params": key}, jnp.zeros((1, 2)),
+                       jnp.zeros((1, 24, 24, 3)), train=False)
+        x = jnp.asarray(rng.normal(size=(4, 2)).astype(np.float32))
+        y = jnp.asarray(rng.uniform(size=(4, 24, 24, 3)).astype(np.float32))
+
+        def loss(model, p):
+            out = model.apply(p, x, y, train=False)
+            return cvae_loss(out, y, beta=0.01, gamma=0.1, gamma_weight=0.1,
+                             learn_force=False, other_locs=False)[0]
+
+        l0, g0 = jax.value_and_grad(lambda p: loss(m_ref, p))(p)
+        l1, g1 = jax.value_and_grad(lambda p: loss(m_fast, p))(p)
+        assert abs(float(l0 - l1)) < 1e-5
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(b, a, atol=1e-6)
+
+    def test_pallas_wgrad_production_shapes(self, rng):
+        # the production encoder geometries the kernel targets: conv0
+        # (cin=3, k=3, s=2, 180->89 — odd H phase padding) and conv1
+        from jax import lax
+        from ealv_tpu.ops.pallas_wgrad import conv_wgrad_direct
+        for B, H, W, Cin, Cout, k, s in [(2, 180, 180, 3, 10, 3, 2),
+                                         (2, 89, 89, 10, 10, 3, 2)]:
+            x = jnp.asarray(rng.normal(size=(B, H, W, Cin)).astype(np.float32))
+            w = jnp.asarray(rng.normal(size=(k, k, Cin, Cout)).astype(np.float32))
+            ref = lambda x, w: lax.conv_general_dilated(
+                x, w, (s, s), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            cot = jnp.asarray(rng.normal(size=ref(x, w).shape).astype(np.float32))
+            gw0 = jax.grad(lambda w: (ref(x, w) * cot).sum())(w)
+            gw1 = conv_wgrad_direct(x, cot, k=k, stride=s)
+            np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
+                                       rtol=1e-4, atol=1e-3)

@@ -63,3 +63,15 @@ def test_fused_free_matrix(tmp_path):
     assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
     assert "learning steps in" in r.stdout
     assert "| L2 |" in r.stdout
+
+
+def test_uncertain_seek_mode_cli(tmp_path):
+    """--seek-mode uncertain (active re-localization of the least-certain
+    object) runs the fused program end-to-end."""
+    r = run_matrix_cli(
+        "--small", "--objects", "3", "--learn-steps", "20", "--id-steps",
+        "10", "--capture-steps", "8", "--seed", "2",
+        "--seek-mode", "uncertain",
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    assert "| L2 |" in r.stdout

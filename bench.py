@@ -384,21 +384,32 @@ def _run_benchmarks(args):
             sim_backend="arm",
         )
         exph = Experiment(cfg_h, train_calls_per_tick=1, train_every=3)
-        esh = exph.init(seed=0)
-        bridge = SyntheticBridge(exph.env, esh.env)
-        runner = HostLoopRunner(exph, bridge)
-        for _ in range(6):
-            esh = runner.step(esh)  # warm both jitted halves
-        t0 = _time.perf_counter()
-        n = 30
-        for _ in range(n):
-            esh = runner.step(esh)
-        t_host = (_time.perf_counter() - t0) / n
+        rates = {}
+        for pipelined in (False, True):
+            esh = exph.init(seed=0)
+            bridge = SyntheticBridge(exph.env, esh.env)
+            runner = HostLoopRunner(exph, bridge, pipeline=pipelined)
+            for _ in range(6):
+                esh = runner.step(esh)  # warm the jitted programs
+            t0 = _time.perf_counter()
+            n = 30
+            for _ in range(n):
+                esh = runner.step(esh)
+            t_host = (_time.perf_counter() - t0) / n
+            rates["pipelined" if pipelined else "serial"] = 1.0 / t_host
+            print(
+                f"[bench] HOSTLOOP "
+                f"{'PIPELINED' if pipelined else 'serial  '} (arm backend "
+                f"through the RobotBridge + robustness layer): "
+                f"{t_host*1e3:.1f} ms/step = {1.0/t_host:.1f} Hz | events "
+                f"{runner.events or 'none'}",
+                file=sys.stderr,
+            )
         print(
-            f"[bench] HOSTLOOP (arm backend through the RobotBridge + "
-            f"robustness layer, per-step dispatch): {t_host*1e3:.1f} ms/step "
-            f"= {1.0/t_host:.1f} Hz | events "
-            f"{runner.events or 'none'}",
+            f"[bench] HOSTLOOP pipeline speedup: "
+            f"{rates['pipelined']/rates['serial']:.2f}x "
+            f"(plan t+1 fused into absorb t's dispatch + overlapped "
+            f"command fetch)",
             file=sys.stderr,
         )
 

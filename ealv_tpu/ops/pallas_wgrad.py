@@ -45,9 +45,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _phase_planes(x, s: int, hp: int, wp: int):
-    """(B, H, W, C) -> (B, C, s, s, hp, wp) phase decomposition, zero-padding
-    rows/cols up to s*hp x s*wp (padded cells are never read: every kernel
-    slice stays inside the VALID-conv footprint)."""
+    """(B, H, W, C) -> (B, C*s*s, hp, wp) phase decomposition (plane index
+    ci*s*s + ph*s + pw), zero-padding rows/cols up to s*hp x s*wp (padded
+    cells are never read: every kernel slice stays inside the VALID-conv
+    footprint)."""
     b, h, w, c = x.shape
     hs, ws = hp * s, wp * s
     x = x[:, :hs, :ws]  # tail rows/cols beyond the last VALID window
@@ -55,7 +56,8 @@ def _phase_planes(x, s: int, hp: int, wp: int):
         x = jnp.pad(x, ((0, 0), (0, max(hs - h, 0)), (0, max(ws - w, 0)),
                         (0, 0)))
     x = x.reshape(b, hp, s, wp, s, c)
-    return jnp.transpose(x, (0, 5, 2, 4, 1, 3))  # (B, C, s, s, hp, wp)
+    x = jnp.transpose(x, (0, 5, 2, 4, 1, 3))  # (B, C, s, s, hp, wp)
+    return x.reshape(b, c * s * s, hp, wp)
 
 
 def _wgrad_kernel(k: int, s: int, cin: int, cout: int, oh: int, ow: int,
@@ -71,8 +73,9 @@ def _wgrad_kernel(k: int, s: int, cin: int, cout: int, oh: int, ow: int,
         for kh in range(k):
             for kw in range(k):
                 for ci in range(cin):
+                    plane = ci * s * s + (kh % s) * s + (kw % s)
                     xs = xp_ref[
-                        0, ci, kh % s, kw % s,
+                        0, plane,
                         kh // s: kh // s + oh,
                         kw // s: kw // s + ow,
                     ].astype(jnp.float32)  # contiguous (OH, OW) window
@@ -100,7 +103,7 @@ def conv_wgrad_direct(x, cot, k: int, stride: int,
     hp = (k - 1) // s + oh
     wp = (k - 1) // s + ow
 
-    xp = _phase_planes(x, s, hp, wp)  # (B, Cin, s, s, hp, wp)
+    xp = _phase_planes(x, s, hp, wp)  # (B, Cin*s*s, hp, wp)
     dyp = jnp.transpose(cot, (0, 3, 1, 2))  # (B, CO, OH, OW)
 
     kernel = _wgrad_kernel(k, s, cin, cout, oh, ow, b)
@@ -108,8 +111,7 @@ def conv_wgrad_direct(x, cot, k: int, stride: int,
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, cin, s, s, hp, wp),
-                         lambda i: (i, 0, 0, 0, 0, 0)),
+            pl.BlockSpec((1, cin * s * s, hp, wp), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, cout, oh, ow), lambda i: (i, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((k * k * cin, cout), lambda i: (0, 0)),

@@ -213,6 +213,21 @@ def planner_study(seeds=(0, 1, 2), steps=300, out_dir=None,
     return rows
 
 
+def _probe_backend() -> bool:
+    """One bounded jax.devices() probe in a subprocess (the studies hang
+    indefinitely on a dead TPU tunnel otherwise — the BENCH_r03 failure
+    mode). Skipped when the caller already pinned a platform."""
+    if os.environ.get("JAX_PLATFORMS"):
+        return True
+    try:
+        r = subprocess.run(
+            [PY, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=120)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def run_table(name: str, small: bool = False) -> int:
     out_dir = os.path.join(REPO, "runs", "repro", name)
     os.makedirs(out_dir, exist_ok=True)
@@ -262,6 +277,11 @@ def main():
     for n in chosen:
         if n not in names:
             ap.error(f"unknown table {n!r}; --list shows the registry")
+    if not _probe_backend():
+        print("[repro] jax backend unreachable (TPU tunnel down?) — "
+              "aborting before any study hangs; pin JAX_PLATFORMS=cpu to "
+              "force CPU shapes", file=sys.stderr)
+        sys.exit(2)
     rc = 0
     for n in chosen:
         rc |= run_table(n, small=args.small)

@@ -98,6 +98,7 @@ def _fused_run_program(ev_exp, model, fps, cfg, combos, seek_combo: int,
                     *beliefs[seek_combo],
                 )
             else:
+                k_star = jnp.full((), seek_fp, jnp.int32)
                 seek_b = beliefs[seek_combo][seek_fp]
             neutral = seek_b.replace(
                 prior=jnp.full_like(seek_b.prior, 0.5),
@@ -127,7 +128,12 @@ def _fused_run_program(ev_exp, model, fps, cfg, combos, seek_combo: int,
                 new_beliefs.append(tuple(nb))
                 dists_all.append(dists)
             outs = {"robot_state": obs["robot_state"],
-                    "dists": jnp.stack(dists_all)}
+                    "dists": jnp.stack(dists_all),
+                    # which object's belief drove exploration this step
+                    # (fixed mode: constant seek_fp; uncertain mode: the
+                    # argmax-entropy object — the study reports how
+                    # exploration time redistributes)
+                    "seek_k": k_star}
             return (ev, tuple(new_beliefs)), outs
 
         (ev, beliefs), outs = jax.lax.scan(body, (ev, beliefs), None,
@@ -199,6 +205,7 @@ class FingerprintTestRuntime:
                 "step": i,
                 "dists": da[i, 0],
                 "robot_state": rs[i],
+                "seek_k": int(np.asarray(outs["seek_k"])[i]),
             })
         self.beliefs = list(beliefs_out[0])
         return self.beliefs, self.history
@@ -296,11 +303,13 @@ class FingerprintMatrixRuntime:
             self.params, ev, beliefs_in)
         rs = np.asarray(outs["robot_state"])
         da = np.asarray(outs["dists"])  # (n_steps, n_combos, K)
+        sk = np.asarray(outs["seek_k"])  # (n_steps,) targeted object
         for i in range(0, n_steps, update_every):
-            rec = {"step": i, "robot_state": rs[i]}
+            rec = {"step": i, "robot_state": rs[i], "seek_k": int(sk[i])}
             for ci, (m, e) in enumerate(self.combos):
                 rec[self.combo_key(m, e)] = da[i, ci]
             self.history.append(rec)
+        self.seek_history = sk
         for ci, (m, e) in enumerate(self.combos):
             self.beliefs[self.combo_key(m, e)] = list(beliefs_out[ci])
         return self.beliefs, self.history

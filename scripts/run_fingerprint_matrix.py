@@ -178,6 +178,12 @@ def main():
     rt.run(n_steps=args.id_steps, seed=args.seed + 7)
     print(f"{args.id_steps}-step matrix identification in "
           f"{time.perf_counter()-t0:.0f}s", flush=True)
+    if args.seek_mode == "uncertain":
+        sk = np.asarray(rt.seek_history)
+        post = sk[max(10, args.id_steps // 6):]  # after adoption
+        share = [float((post == k).mean()) for k in range(len(fps_dicts))]
+        print(f"seek-target share per object (post-adoption): "
+              f"{np.round(share, 2).tolist()}", flush=True)
 
     table = rt.results_table(truth=truth)
     print("\n| method | per-object error | mean error |")

@@ -133,6 +133,9 @@ class TestUncertainSeek:
             for b in bels:
                 assert np.isfinite(np.asarray(b.pdf_grid())).all()
         assert len(history) == 8
+        # the targeted object is recorded per step and stays in range
+        assert all(0 <= rec["seek_k"] < 2 for rec in history)
+        assert rt.seek_history.shape == (8,)
 
     def test_uncertain_target_selects_flat_object(self):
         # the in-device select must pick the flat (max-entropy) belief:

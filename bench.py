@@ -98,8 +98,8 @@ def _acquire_backend():
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=timeout)
-            outcome = ("ok" if r.returncode == 0 else
-                       "rc=%d: %s" % (r.returncode, r.stderr.strip()[-200:]))
+            outcome = _probe_outcome(r.returncode, r.stdout, r.stderr,
+                                     overridden=cmd_override is not None)
         except subprocess.TimeoutExpired:
             outcome = f"timeout>{timeout:g}s"
         except OSError as e:
@@ -116,11 +116,30 @@ def _acquire_backend():
     return False, attempts
 
 
+def _probe_outcome(rc: int, stdout: str, stderr: str,
+                   overridden: bool) -> str:
+    """Classify one probe attempt. A zero exit with a non-TPU platform is a
+    FAILURE: jax.devices() falling back to CPU (plugin missing / init
+    fallback) would let the benchmark publish a wildly-wrong CPU-measured
+    artifact with no error record. Overridden probe commands (tests) are
+    judged on exit code only."""
+    if rc != 0:
+        return "rc=%d: %s" % (rc, stderr.strip()[-200:])
+    if not overridden and stdout.strip().split()[-1:] not in (["tpu"],
+                                                              ["axon"]):
+        return ("wrong platform %r (TPU plugin missing or fell back to "
+                "CPU)" % stdout.strip()[-40:])
+    return "ok"
+
+
 def _is_backend_error(e: BaseException) -> bool:
+    """Only the tunnel-outage signatures; a generic RuntimeError that merely
+    mentions 'backend' (e.g. an unimplemented-lowering regression) must
+    stay loud, not hide behind a value:null artifact."""
     msg = str(e)
     return isinstance(e, RuntimeError) and any(
         s in msg for s in ("UNAVAILABLE", "Unable to initialize backend",
-                           "DEADLINE_EXCEEDED", "backend"))
+                           "DEADLINE_EXCEEDED"))
 
 
 def _analytic_flops_per_tick(cfg):

@@ -255,10 +255,13 @@ class NativeBridge(RobotBridge):
     def klerg_pose(self, pose6, brightness: float = -1.0) -> bool:
         if self.pause.paused:
             return False
-        if self._native_loop is not None and not self._native_loop.has_pose:
-            # the C loop's pose branch no-ops without driver pose callbacks
-            # (rt_loop.cpp:121-124): reject loudly rather than report a
-            # success the robot will never execute
+        # a driver without the pose interface can't execute pose commands
+        # in ANY loop form: the C loop's pose branch no-ops on NULL vtable
+        # entries (rt_loop.cpp:121-124) and the legacy Python loop would
+        # AttributeError inside the daemon thread — reject loudly rather
+        # than report a success the robot will never execute
+        if not (hasattr(self.driver, "apply_pose")
+                and hasattr(self.driver, "pose_matrix")):
             return False
         if brightness >= 0 and self.brightness_node is not None:
             self.brightness_node.update(brightness)

@@ -48,18 +48,21 @@ TABLES = {
         "cmd": _sub("run_fingerprint_matrix.py", "--learn-steps", 600,
                     "--id-steps", 300, "--seed", 0),
         "out": True,
+        "small_ok": True,
     },
     "matrix1000": {
         "doc": "PARITY 5: reference-length 1000-step identification, seed 0",
         "cmd": _sub("run_fingerprint_matrix.py", "--learn-steps", 600,
                     "--id-steps", 1000, "--seed", 0),
         "out": True,
+        "small_ok": True,
     },
     "k3": {
         "doc": "PARITY 6: K=3 multi-object, 800 learn / 500 id, seed 0",
         "cmd": _sub("run_fingerprint_matrix.py", "--objects", 3,
                     "--learn-steps", 800, "--id-steps", 500, "--seed", 0),
         "out": True,
+        "small_ok": True,
     },
     "k3-active": {
         "doc": "PARITY 6: K=3 with uncertainty-targeted re-localization",
@@ -67,12 +70,14 @@ TABLES = {
                     "--learn-steps", 800, "--id-steps", 500, "--seed", 0,
                     "--seek-mode", "uncertain"),
         "out": True,
+        "small_ok": True,
     },
     "k4": {
         "doc": "PARITY 6: K=4 multi-object, 800 learn / 500 id, seed 0",
         "cmd": _sub("run_fingerprint_matrix.py", "--objects", 4,
                     "--learn-steps", 800, "--id-steps", 500, "--seed", 0),
         "out": True,
+        "small_ok": True,
     },
     "force": {
         "doc": "PARITY 4: force-learning end-to-end, 1200 steps, seed 0",
@@ -89,6 +94,7 @@ TABLES = {
                     "--backend", "arm", "--post-train", "--save-rate", 500,
                     "--cluster-every", 200, "--dash-every", 500),
         "out": True,
+        "small_ok": True,
     },
 }
 # arm flagship study: three pinned seeds (PARITY 7 rows)
@@ -99,6 +105,7 @@ for s in (0, 1, 2):
                     "--backend", "arm", "--host-loop",
                     "--learn-steps", 800, "--id-steps", 1000, "--seed", s),
         "out": True,
+        "small_ok": True,
     }
 
 
@@ -239,7 +246,11 @@ def run_table(name: str, small: bool = False) -> int:
     if spec.get("out"):
         cmd += ["--out", out_dir]
     if small:
-        cmd += ["--small"]
+        if not spec.get("small_ok"):
+            print(f"[repro] {name}: no --small variant; running at the "
+                  f"pinned (published) shapes", file=sys.stderr)
+        else:
+            cmd += ["--small"]
     print(f"[repro] {name}: {' '.join(cmd)}", flush=True)
     log = os.path.join(out_dir, "log.txt")
     with open(log, "w") as f:

@@ -180,7 +180,8 @@ def main():
           f"{time.perf_counter()-t0:.0f}s", flush=True)
     if args.seek_mode == "uncertain":
         sk = np.asarray(rt.seek_history)
-        post = sk[max(10, args.id_steps // 6):]  # after adoption
+        cut = max(10, args.id_steps // 6)  # adoption step
+        post = sk[cut:] if args.id_steps > cut else sk  # short runs: all
         share = [float((post == k).mean()) for k in range(len(fps_dicts))]
         print(f"seek-target share per object (post-adoption): "
               f"{np.round(share, 2).tolist()}", flush=True)

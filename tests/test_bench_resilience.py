@@ -116,3 +116,20 @@ def test_backend_error_classifier():
     assert bench_mod._is_backend_error(RuntimeError("DEADLINE_EXCEEDED: x"))
     assert not bench_mod._is_backend_error(ValueError("UNAVAILABLE"))
     assert not bench_mod._is_backend_error(RuntimeError("shape mismatch"))
+    # a regression that merely MENTIONS 'backend' must stay loud
+    assert not bench_mod._is_backend_error(
+        RuntimeError("Custom call lowering not implemented for this backend"))
+
+
+def test_probe_rejects_cpu_fallback_platform():
+    """jax.devices() succeeding on a CPU fallback is a probe FAILURE —
+    a CPU-measured 'TPU benchmark' artifact is worse than none."""
+    import bench as bench_mod
+
+    assert bench_mod._probe_outcome(0, "tpu\n", "", overridden=False) == "ok"
+    assert bench_mod._probe_outcome(0, "axon\n", "", overridden=False) == "ok"
+    out = bench_mod._probe_outcome(0, "cpu\n", "", overridden=False)
+    assert out.startswith("wrong platform")
+    # overridden (test) probes are judged on exit code only
+    assert bench_mod._probe_outcome(0, "", "", overridden=True) == "ok"
+    assert bench_mod._probe_outcome(3, "", "boom", overridden=True).startswith("rc=3")

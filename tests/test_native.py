@@ -247,6 +247,12 @@ class TestBridges:
         finally:
             br.stop()
 
+        # capability-based: also rejected before start() and on the legacy
+        # Python-paced loop (where apply_pose would AttributeError inside
+        # the daemon thread and silently kill the 1 kHz loop)
+        br2 = NativeBridge(driver=VelOnlyDriver(), clock=lambda: 0.0)
+        assert not br2.klerg_pose(np.zeros(6))
+
 
 class TestRtLoop:
     """The C++ realtime loop: sustained rate and bounded jitter with zero

@@ -102,6 +102,38 @@ class TestMatrixRuntime:
             assert os.path.exists(p) and os.path.getsize(p) > 0
 
 
+class TestAdoptionSteersExploration:
+    """The in-device belief-adoption switch must actually steer the
+    planner: with contrasty beliefs, different adopted objects must give
+    different post-adoption trajectories (a silently-dead switch would be
+    invisible to every other test — beliefs still update, tables still
+    print). Near-flat beliefs legitimately leave trajectories identical
+    (the adopted pdf is then ~uniform), so the probe seeds broad, sharply
+    distinct priors."""
+
+    def test_post_adoption_trajectories_diverge(self, matrix_run):
+        rt_src, _, _ = matrix_run
+        paths = {}
+        for fpk in (0, 1):
+            rt = FingerprintMatrixRuntime(
+                rt_src.cfg, rt_src.model, rt_src.params, rt_src.fps,
+                combos=(("L2", False),), seek_fingerprint=fpk,
+                update_tdist_step=3,
+            )
+            b = rt.beliefs["L2"][fpk]
+            g = np.asarray(b.grid)
+            ctr = np.array([0.7, 0.7, 0.0]) if fpk == 0 else \
+                np.array([-0.7, -0.7, 0.0])
+            p = np.exp(-0.5 * np.sum((g - ctr) ** 2, 1) / 0.04)
+            rt.beliefs["L2"][fpk] = b.replace(
+                prior=jnp.asarray(p, jnp.float32))
+            _, hist = rt.run(n_steps=12, seed=0)
+            paths[fpk] = np.stack([h["robot_state"] for h in hist])
+        d = np.abs(paths[0] - paths[1])
+        assert d[:3].max() == 0.0  # pre-adoption: same uniform exploration
+        assert d[4:].max() > 1e-4  # post-adoption: the target steers
+
+
 class TestUncertainSeek:
     """Active re-localization (VERDICT r3 weak #3): the exploration target
     follows the LEAST-localized object's belief instead of one fixed

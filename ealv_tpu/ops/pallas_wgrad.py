@@ -31,6 +31,18 @@ lowering measures ~140 us. All three forms collide within ~2x of each
 other on COMPUTE-side shape waste, not HBM scheduling — the conv gap in
 ARCHITECTURE §7 is a property of the reference's 3/10/10/20-channel model
 family on 128-lane hardware. The measured A/B decides what ships.
+
+MEASURED RESULT (round 4, real v5e, scripts/ab_wgrad.py --all): a LOSS.
+Inline tick 195.9 ms/step vs XLA's 51.1 (s2d 61.9, im2col 75.6). The
+per-tap broadcast-multiply-reduce loop (27/90/500 taps across the three
+encoder layers) serializes VPU work that XLA's lowering pipelines, and
+at 3-20 channels there is no lane occupancy to win back. XLA remains
+the dispatch default (`fast_encoder_grads=False`); this kernel stays as
+the third measured negative closing the §7 conv-gap question: the gap
+is the model family's shapes, not a recoverable scheduling defect.
+Numerics note: the kernel's f32 accumulation is ~500x CLOSER to the
+HIGHEST-precision reference than XLA's default bf16-MXU lowering
+(6.2e-6 vs 3.5e-3 max rel err at first-layer production shapes).
 """
 
 from __future__ import annotations
@@ -70,6 +82,15 @@ def _wgrad_kernel(k: int, s: int, cin: int, cout: int, oh: int, ow: int,
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         dy = dy_ref[0].astype(jnp.float32)  # (CO, OH, OW)
+        # Mosaic layout notes (all verified on the real backend): rank-1
+        # values fail TPU vector-layout inference (inferElementwise checks
+        # arr.size() >= layout_rank), so every reduction is staged to stay
+        # 2-D — axis=2 then axis=1 keepdims — and the accumulator is
+        # updated ONCE per batch image with a full (CO, K*K*Cin) block
+        # instead of per-row ref writes. Columns are emitted in idx order
+        # (idx = (kh*k + kw)*cin + ci), matching the loop nest; the wrapper
+        # transposes back to (K*K*Cin, CO).
+        cols = []
         for kh in range(k):
             for kw in range(k):
                 for ci in range(cin):
@@ -79,9 +100,9 @@ def _wgrad_kernel(k: int, s: int, cin: int, cout: int, oh: int, ow: int,
                         kh // s: kh // s + oh,
                         kw // s: kw // s + ow,
                     ].astype(jnp.float32)  # contiguous (OH, OW) window
-                    v = jnp.sum(xs[None, :, :] * dy, axis=(1, 2))  # (CO,)
-                    idx = (kh * k + kw) * cin + ci
-                    acc_ref[idx, :] = acc_ref[idx, :] + v
+                    t = jnp.sum(xs[None, :, :] * dy, axis=2)  # (CO, OH)
+                    cols.append(jnp.sum(t, axis=1, keepdims=True))
+        acc_ref[...] = acc_ref[...] + jnp.concatenate(cols, axis=1)
 
         @pl.when(b == nb - 1)
         def _flush():
@@ -114,13 +135,13 @@ def conv_wgrad_direct(x, cot, k: int, stride: int,
             pl.BlockSpec((1, cin * s * s, hp, wp), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, cout, oh, ow), lambda i: (i, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((k * k * cin, cout), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((k * k * cin, cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((k * k * cin, cout), jnp.float32)],
+        out_specs=pl.BlockSpec((cout, k * k * cin), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((cout, k * k * cin), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((cout, k * k * cin), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # sequential: accumulator
         ),
         interpret=(jax.default_backend() != "tpu"
                    if interpret is None else interpret),
     )(xp, dyp)
-    return out.reshape(k, k, cin, cout)
+    return out.T.reshape(k, k, cin, cout)

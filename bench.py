@@ -404,10 +404,15 @@ def _run_benchmarks(args):
         )
         exph = Experiment(cfg_h, train_calls_per_tick=1, train_every=3)
         rates = {}
-        for pipelined in (False, True):
+        modes = [
+            ("serial   ", dict(pipeline=False)),
+            ("pipelined", dict(pipeline=True, device_fast=False)),
+            ("DEVICE   ", dict(pipeline=True, device_fast=True)),
+        ]
+        for name, kw in modes:
             esh = exph.init(seed=0)
             bridge = SyntheticBridge(exph.env, esh.env)
-            runner = HostLoopRunner(exph, bridge, pipeline=pipelined)
+            runner = HostLoopRunner(exph, bridge, **kw)
             for _ in range(6):
                 esh = runner.step(esh)  # warm the jitted programs
             t0 = _time.perf_counter()
@@ -415,20 +420,21 @@ def _run_benchmarks(args):
             for _ in range(n):
                 esh = runner.step(esh)
             t_host = (_time.perf_counter() - t0) / n
-            rates["pipelined" if pipelined else "serial"] = 1.0 / t_host
+            rates[name.strip()] = 1.0 / t_host
             print(
-                f"[bench] HOSTLOOP "
-                f"{'PIPELINED' if pipelined else 'serial  '} (arm backend "
+                f"[bench] HOSTLOOP {name} (arm backend "
                 f"through the RobotBridge + robustness layer): "
                 f"{t_host*1e3:.1f} ms/step = {1.0/t_host:.1f} Hz | events "
                 f"{runner.events or 'none'}",
                 file=sys.stderr,
             )
         print(
-            f"[bench] HOSTLOOP pipeline speedup: "
-            f"{rates['pipelined']/rates['serial']:.2f}x "
-            f"(plan t+1 fused into absorb t's dispatch + overlapped "
-            f"command fetch)",
+            f"[bench] HOSTLOOP speedups vs serial: pipelined "
+            f"{rates['pipelined']/rates['serial']:.2f}x (plan t+1 fused "
+            f"into absorb t's dispatch), device-resident "
+            f"{rates['DEVICE']/rates['serial']:.2f}x (observation never "
+            f"leaves the device; host sees only the (7,) command + the "
+            f"watchdog slice)",
             file=sys.stderr,
         )
 

@@ -93,6 +93,23 @@ class SyntheticBridge(RobotBridge):
         self._img_shape = tuple(obs_shapes[3].shape)
         self.last_brightness = 1.0
 
+        # Device-resident fast path (HostLoopRunner pipeline mode): command
+        # + observe fused into ONE dispatch whose packed observation STAYS
+        # on device — the host loop feeds it straight into the absorb/plan
+        # program instead of paying a ~30 ms image fetch that immediately
+        # bounces back to the device. Only the 13+nf-float watchdog slice
+        # (pose6, vel6, force, brightness) ever crosses to the host.
+        nsmall = 13 + self._force_size
+
+        def _cmd_observe(s, cmd7):
+            v = cmd7[:6]
+            b = jnp.where(cmd7[6] >= 0, cmd7[6], s.brightness)
+            s2 = env.step_vel(s, v, b)
+            flat = _observe_packed(s2)
+            return s2, flat, flat[:nsmall]
+
+        self._cmd_observe = jax.jit(_cmd_observe)
+
     def klerg_cmd(self, twist6, brightness: float = -1.0) -> bool:
         if self.pause.paused:
             return False
@@ -122,6 +139,33 @@ class SyntheticBridge(RobotBridge):
         self.last_brightness = float(flat[12 + nf])
         return (flat[:6], flat[6:12], flat[12:12 + nf],
                 flat[13 + nf:].reshape(self._img_shape))
+
+    # ---- device-resident fast path ----
+    def device_fast_path_ok(self) -> bool:
+        """The fused cmd+observe program bypasses klerg_cmd/observe, so the
+        fast path is only sound when NEITHER has been overridden (test
+        bridges that wedge/fail by overriding them fall back automatically
+        to the host-side pipeline path)."""
+        cls = type(self)
+        return (cls.klerg_cmd is SyntheticBridge.klerg_cmd
+                and cls.observe is SyntheticBridge.observe
+                # instance-level monkeypatching (tests, shims) must also
+                # disable the fused program, which would bypass it
+                and "klerg_cmd" not in self.__dict__
+                and "observe" not in self.__dict__)
+
+    def cmd_observe_device(self, cmd7):
+        """Apply [vel6 | brightness] and observe, in ONE device program.
+        Returns (flat_obs, small) DEVICE arrays — the packed observation
+        (pose6, vel6, force, b, img) and its watchdog prefix (no image) —
+        with the small slice's host copy already in flight. None if paused
+        (klerg_cmd parity)."""
+        if self.pause.paused:
+            return None
+        self.state, flat, small = self._cmd_observe(
+            self.state, np.asarray(cmd7, np.float32))
+        small.copy_to_host_async()
+        return flat, small
 
 
 class StaleObservationError(RuntimeError):

@@ -64,6 +64,11 @@ class HostLoopRunner:
     # design likewise never blocks control on anything
     # (trainer_ddp.py:117-131, main_async.py:62-78).
     pipeline: bool = True
+    # When the bridge offers a fused device-resident cmd+observe
+    # (SyntheticBridge.cmd_observe_device), the pipelined step keeps the
+    # observation on device entirely (see _step_fast). Disable to force the
+    # host-side pipelined path (e.g. for A/B measurement).
+    device_fast: bool = True
     metrics: Optional[MetricsLog] = None
     stuck: StuckDetector = field(default_factory=StuckDetector)
     pause: Optional[PauseManager] = None
@@ -130,6 +135,44 @@ class HostLoopRunner:
         self._obs = None  # last sensed (pose6, vel6, force, img), host-side
         self._pending = None  # pipelined (pstate, info, cmd7 device array)
 
+        # Device-resident fast path: when the bridge can fuse command +
+        # observe into one device program whose observation never leaves
+        # the device (SyntheticBridge.cmd_observe_device), the absorb/plan
+        # half consumes the PACKED observation directly — the per-step
+        # host traffic drops to two small in-flight copies (the (7,)
+        # command and the 13+nf-float watchdog slice) instead of a full
+        # image fetch that bounces straight back to the device. Semantics
+        # are unchanged: same observation, same plan inputs, same
+        # robustness checks (stuck detection runs on the watchdog slice
+        # at the end of the step; on a hit the pipeline is invalidated and
+        # the escape handled by the standard path).
+        self._fast = bool(self.pipeline) and bool(self.device_fast) and bool(
+            getattr(self.bridge, "device_fast_path_ok", lambda: False)())
+        if self._fast:
+            nf = int(getattr(self.bridge, "_force_size", 1))
+            img_shape = tuple(self.bridge._img_shape)
+            self._nf = nf
+
+            def _absorb_plan_flat(es, pstate, info, flat):
+                pose6, vel6 = flat[:6], flat[6:12]
+                b = flat[12 + nf]
+                img = jnp.reshape(flat[13 + nf:], img_shape)
+                robot_state = exp._robot_state_from_obs(
+                    pose6, vel6, b)[:s_dim]
+                es, tick_info = exp.absorb_step(
+                    es, pstate, info, robot_state, img, flat[12:13])
+                full_state = exp._robot_state_from_obs(pose6, vel6, b)
+                pstate2, vel6_cmd, b_cmd, info2 = exp.plan_step(
+                    es, full_state)
+                cmd7 = jnp.concatenate([
+                    vel6_cmd,
+                    jnp.full((1,), -1.0) if b_cmd is None
+                    else jnp.reshape(b_cmd, (1,)),
+                ])
+                return es, pstate2, cmd7, info2, tick_info
+
+            self._absorb_plan_flat = jax.jit(_absorb_plan_flat)
+
     # ------------------------------------------------------------------
     def hooks(self) -> ControlHooks:
         """ControlHooks for a ControlPanel driving this runner."""
@@ -184,6 +227,9 @@ class HostLoopRunner:
             self._pending = None
             self._obs = None
             return es  # no motion while paused/manual (sensor_utils :556-578)
+
+        if self._fast:
+            return self._step_fast(es)
 
         if self.pipeline and self._pending is not None:
             # steady state: the plan was dispatched fused with the previous
@@ -273,6 +319,77 @@ class HostLoopRunner:
                 self._log("killed", "graceful shutdown requested")
                 break
             es = self.step(es)
+        return es
+
+    # ------------------------------------------------------------------
+    def _step_fast(self, es: ExperimentState) -> ExperimentState:
+        """Device-resident pipelined step: one fused cmd+observe dispatch,
+        one fused absorb+plan dispatch, two small in-flight host copies.
+        The image never crosses the host boundary."""
+        if self._pending is None:
+            # prime (first step, or after recover/goal-seek/pause/stuck):
+            # plan from a fresh host observation, as the standard path does
+            if self._obs is None:
+                self._obs = self.bridge.observe()
+            pose6, vel6, _, _ = self._obs
+            pstate, cmd7_dev, info = self._plan(
+                es, np.asarray(pose6), np.asarray(vel6),
+                self._brightness(pose6))
+            cmd7 = np.asarray(cmd7_dev)
+        else:
+            pstate, info, cmd7_dev = self._pending
+            self._pending = None
+            cmd7 = np.asarray(cmd7_dev)  # host copy in flight since dispatch
+
+        try:
+            res = self.bridge.cmd_observe_device(cmd7)
+        except Exception as e:  # service-exception parity (:153-166)
+            res = None
+            self._log("cmd_error", repr(e))
+        if res is None:
+            self.pause.pause()
+            self._log("cmd_failed", "velocity command rejected; pausing")
+            self._obs = None
+            return es
+        flat, small = res
+
+        es, pstate2, cmd7_next, info2, tick_info = self._absorb_plan_flat(
+            es, pstate, info, flat)
+        cmd7_next.copy_to_host_async()  # overlap with robot motion
+        self._pending = (pstate2, info2, cmd7_next)
+        self._obs = None  # the fast path never holds a host-side image
+
+        # watchdog slice: its copy has been in flight since before the
+        # absorb dispatch, so this sync overlaps device work, not adds to it
+        small_h = np.asarray(small)
+        pose2 = small_h[:6]
+        force2 = small_h[12:12 + self._nf]
+        moved_ok, escape = self.stuck.check(
+            pose2, force=self._escape_force(force2))
+        if not moved_ok:
+            # unlike the host-side path (escape BEFORE absorb), the wedged
+            # frame was already absorbed — rare-event tradeoff for the
+            # steady-state latency win; invalidate the pipeline so the next
+            # step primes from a post-escape observation
+            self._pending = None
+            if escape is not None:
+                esc6 = np.zeros(6)
+                esc6[:3] = escape[:3] if escape.shape[0] >= 3 else np.pad(
+                    escape, (0, 3 - escape.shape[0]))
+                try:
+                    self.bridge.klerg_cmd(esc6, -1.0)
+                except Exception as e:
+                    self._log("cmd_error", repr(e))
+                self._log("stuck_escape",
+                          f"pose {np.round(pose2[:3], 4)} "
+                          f"escape {np.round(esc6[:3], 4)}")
+            else:
+                self.bridge.reset()
+                self._log("stuck_reset", "no force reading; controller reset")
+
+        if self.pause.consume_save() and self.save_fn is not None:
+            self.save_fn(es)
+            self._log("save", f"checkpoint at step {int(es.explr_step)}")
         return es
 
     # ------------------------------------------------------------------

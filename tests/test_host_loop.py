@@ -225,12 +225,15 @@ class TestPipelinedHostLoop:
     def exp(self):
         return tiny_experiment()
 
-    def test_pipeline_matches_serial_trajectory(self, exp):
+    @pytest.mark.parametrize("device_fast", [False, True])
+    def test_pipeline_matches_serial_trajectory(self, exp, device_fast):
         es0 = exp.init(seed=9)
         b_p = SyntheticBridge(exp.env, es0.env)
         b_s = SyntheticBridge(exp.env, es0.env)
-        r_p = HostLoopRunner(exp, b_p, pipeline=True)
+        r_p = HostLoopRunner(exp, b_p, pipeline=True,
+                             device_fast=device_fast)
         r_s = HostLoopRunner(exp, b_s, pipeline=False)
+        assert r_p._fast == device_fast  # fast path engages iff requested
         e_p, e_s = es0, es0
         for _ in range(6):
             e_p = r_p.step(e_p)
@@ -240,6 +243,33 @@ class TestPipelinedHostLoop:
                                    np.asarray(b_s.state.pose), atol=1e-5)
         np.testing.assert_allclose(np.asarray(e_p.buf.x[:6]),
                                    np.asarray(e_s.buf.x[:6]), atol=1e-5)
+
+    def test_fast_path_falls_back_on_overridden_bridge(self, exp):
+        # WedgedBridge overrides klerg_cmd, so the fused device program
+        # would bypass its wedge behavior — device_fast_path_ok must
+        # refuse and the runner fall back to the host-side pipeline
+        env0 = exp.init(seed=13).env
+        bridge = WedgedBridge(exp.env, env0)
+        assert not bridge.device_fast_path_ok()
+        runner = HostLoopRunner(exp, bridge, pipeline=True)
+        assert not runner._fast
+        es = runner.run(exp.init(seed=13), 8)
+        assert int(es.explr_step) == 8  # wedge handling still works
+
+    def test_fast_path_stuck_invalidates_pipeline(self, exp):
+        # with an absurd stuck tolerance every fast step trips the
+        # detector: the step must still absorb, log, drop the in-flight
+        # plan, and re-prime — no livelock, no lost steps
+        from ealv_tpu.runtime.watchdog import StuckDetector
+
+        bridge, es = make_bridge(exp, seed=14)
+        runner = HostLoopRunner(exp, bridge, pipeline=True,
+                                stuck=StuckDetector(tol=1e9))
+        assert runner._fast
+        es = runner.run(es, 5)
+        assert int(es.explr_step) == 5
+        assert "stuck_reset" in runner.events or "stuck_escape" in runner.events
+        assert runner._pending is None  # last hit re-primes next step
 
     def test_pipeline_invalidated_on_cmd_failure(self, exp):
         env0 = exp.init(seed=10).env

@@ -24,8 +24,36 @@ import jax.numpy as jnp
 
 from ..utils.config import ExperimentConfig
 from ..runtime.tester import EvalExperiment
+from ..ops import renormalize
 from .identify import FingerprintSet, update_beliefs
 from .belief import FingerprintBelief
+
+
+def _make_target_pdf(sharpness: float):
+    """Planner target from an adopted belief: ``renormalize(pdf)**sharpness``.
+
+    Why (measured, round 4): a fused belief grid lives in ~[0, 1]
+    (FingerprintDist.init_uniform_grid = 0.5, fingerprint_module.py:457-462,
+    tanh-squashed updates :476-489), so its raw pdf has at most ~2:1
+    contrast AND is unnormalized (sum ~ N/2 over the planner's samples).
+    Fed directly to the KL-ergodic backward pass the p/q importance ratio
+    is then ~10^3 off scale — du saturates to bang-bang, the line search
+    rejects every window, and exploration is target-blind: opposite-corner
+    beliefs produce bit-identical trajectories. The reference has exactly
+    this weakness (its ID run feeds the same low-contrast grid,
+    test_fingerprint_main.py:262-268). Sharpening the renormalized belief
+    restores both a sane scale (max 1) and real contrast: with
+    sharpness=20 the planner drives to within ~0.05-0.15 of the belief
+    peak where the raw belief never leaves the start region.
+
+    A neutral belief (constant prior) renormalizes to exactly 1 everywhere
+    and stays uniform under any sharpness, so pre-adoption exploration is
+    unchanged."""
+
+    def pdf_fn(ctx, samples):
+        return renormalize(ctx.pdf(samples)) ** sharpness
+
+    return pdf_fn
 
 
 def _jit_update(model, fps, cfg, dist_method: str, error_mode: bool):
@@ -153,6 +181,9 @@ class FingerprintTestRuntime:
     error_mode: bool = False
     update_tdist_step: int = 50  # adopt a belief as target after this step
     seek_fingerprint: int = 0  # which fingerprint's belief to adopt
+    # belief-target sharpening exponent (see _make_target_pdf); 0 disables
+    # steering entirely (uniform target), 1 = the reference's raw belief
+    target_sharpness: float = 20.0
     scene: object = None
     beliefs: list = field(default_factory=list)
     history: list = field(default_factory=list)
@@ -169,10 +200,12 @@ class FingerprintTestRuntime:
                                          thresh=thresh, clip=clip)
                 for _ in range(k)
             ]
-        # planner target = a FingerprintBelief's interpolated pdf; a fresh
-        # belief is uniform, so pre-adoption exploration is uniform
+        # planner target = the adopted belief's sharpened pdf (see
+        # _make_target_pdf); a fresh belief is uniform, so pre-adoption
+        # exploration is uniform
         self._ev = EvalExperiment(
-            self.cfg, lambda ctx, samples: ctx.pdf(samples), scene=self.scene
+            self.cfg, _make_target_pdf(self.target_sharpness),
+            scene=self.scene,
         )
         # single-observation update program (capture scripts and tests use
         # it standalone; run() fuses the whole loop instead)
@@ -255,6 +288,8 @@ class FingerprintMatrixRuntime:
     # reference's process split cannot express
     seek_mode: str = "fixed"
     update_tdist_step: int = 50
+    # belief-target sharpening exponent (see _make_target_pdf)
+    target_sharpness: float = 20.0
     scene: object = None
     beliefs: dict = field(default_factory=dict)  # combo key -> [beliefs x K]
     history: list = field(default_factory=list)
@@ -278,7 +313,8 @@ class FingerprintMatrixRuntime:
                     for _ in range(k)
                 ]
         self._ev = EvalExperiment(
-            self.cfg, lambda ctx, samples: ctx.pdf(samples), scene=self.scene
+            self.cfg, _make_target_pdf(self.target_sharpness),
+            scene=self.scene,
         )
 
     def run(self, n_steps: int, seed: int = 0, update_every: int = 1):

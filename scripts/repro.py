@@ -17,6 +17,8 @@ Provenance map (table -> published number):
   k3 / k4     PARITY section 6   multi-object studies (fixed-seek parity)
   k3-active   PARITY section 6   K=3 with --seek-mode uncertain (active
                                  re-localization of the least-certain object)
+  k3-raw      PARITY section 6   K=3 with --target-sharpness 1 (the
+                                 reference's raw target-blind belief)
   arm         PARITY section 7   arm-backend flagship study, seeds 0/1/2
   force       PARITY section 4   force-learning end-to-end study
   bench       README headline    explore+learn step rate (bench.py)
@@ -69,6 +71,15 @@ TABLES = {
         "cmd": _sub("run_fingerprint_matrix.py", "--objects", 3,
                     "--learn-steps", 800, "--id-steps", 500, "--seed", 0,
                     "--seek-mode", "uncertain"),
+        "out": True,
+        "small_ok": True,
+    },
+    "k3-raw": {
+        "doc": "PARITY 6: K=3 with the reference's raw (unsharpened) belief "
+               "target — the target-blind baseline both stacks share",
+        "cmd": _sub("run_fingerprint_matrix.py", "--objects", 3,
+                    "--learn-steps", 800, "--id-steps", 500, "--seed", 0,
+                    "--target-sharpness", 1.0),
         "out": True,
         "small_ok": True,
     },

@@ -58,6 +58,12 @@ def main():
     ap.add_argument("--cluster-every", type=int, default=0,
                     help="run the online clustering monitor every N "
                          "learning steps (host-loop phase only)")
+    ap.add_argument("--target-sharpness", type=float, default=20.0,
+                    help="belief-target sharpening exponent (test_runtime."
+                         "_make_target_pdf). 1.0 = the reference's raw "
+                         "low-contrast belief, which is measured to leave "
+                         "exploration target-blind; 20.0 (default) steers "
+                         "to the belief peak")
     args = ap.parse_args()
 
     from ealv_tpu.utils.config import ExperimentConfig
@@ -173,6 +179,7 @@ def main():
         combos=(("L2", False), ("KL", False), ("BC", False), ("L2", True)),
         seek_combo=0, seek_fingerprint=0, seek_mode=args.seek_mode,
         update_tdist_step=max(10, args.id_steps // 6), scene=scene,
+        target_sharpness=args.target_sharpness,
     )
     t0 = time.perf_counter()
     rt.run(n_steps=args.id_steps, seed=args.seed + 7)

@@ -185,3 +185,44 @@ class TestUncertainSeek:
         assert int(k_star) == 1
         np.testing.assert_allclose(np.asarray(sel.prior),
                                    np.asarray(b1.prior))
+
+
+class TestTargetSharpening:
+    """The adopted belief is renormalized and sharpened before it reaches
+    the planner (test_runtime._make_target_pdf): the raw ~[0,1] belief grid
+    is unnormalized and nearly flat, which is measured to leave the
+    KL-ergodic line search rejecting every window (target-blind
+    exploration — the reference's own weakness,
+    test_fingerprint_main.py:262-268)."""
+
+    def test_flat_belief_stays_uniform(self):
+        from ealv_tpu.fingerprint.belief import FingerprintBelief
+        from ealv_tpu.fingerprint.test_runtime import _make_target_pdf
+
+        lims = np.array([[-1, 1], [-1, 1]], np.float64)
+        b = FingerprintBelief.create("xy", lims)  # constant 0.5 prior
+        pdf = _make_target_pdf(20.0)
+        samples = jnp.asarray(np.random.default_rng(0).uniform(
+            -1, 1, (64, 2)), jnp.float32)
+        p = np.asarray(pdf(b, samples))
+        np.testing.assert_allclose(p, 1.0, rtol=1e-5)
+
+    def test_sharpness_raises_contrast(self):
+        from ealv_tpu.fingerprint.belief import FingerprintBelief
+        from ealv_tpu.fingerprint.test_runtime import _make_target_pdf
+
+        lims = np.array([[-1, 1], [-1, 1]], np.float64)
+        b = FingerprintBelief.create("xy", lims)
+        g = np.asarray(b.grid)
+        peak = np.exp(-np.sum((g - np.array([0.5, 0.5])) ** 2, 1) / 0.05)
+        b = b.replace(prior=jnp.asarray(0.5 + 0.4 * peak, jnp.float32))
+        samples = jnp.asarray(np.random.default_rng(1).uniform(
+            -1, 1, (256, 2)), jnp.float32)
+        raw = np.asarray(_make_target_pdf(1.0)(b, samples))
+        sharp = np.asarray(_make_target_pdf(20.0)(b, samples))
+        # both normalized to max 1; the sharpened one concentrates mass
+        assert raw.max() == 1.0 and sharp.max() == 1.0
+        assert (raw.min() / raw.max()) > 0.4      # raw belief: ~2:1 contrast
+        assert (sharp.min() / sharp.max()) < 1e-3  # sharpened: real contrast
+        # the peak sample stays the peak
+        assert np.argmax(raw) == np.argmax(sharp)

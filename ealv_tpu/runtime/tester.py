@@ -72,7 +72,16 @@ class EvalExperiment:
             dt=cfg.dt,
             R=cfg.R,
             std=cfg.std * kernel_std_scale,
-            weight_temp=False,  # capture disables dist shaping (build_fingerprints:238-239)
+            # Dist shaping off. For capture this is reference parity
+            # (build_fingerprints:238-239). For identification the
+            # reference nominally keeps weight_temp=True, but its
+            # p**mean(spread) term flattens ANY injected target while
+            # coverage is small (mean(spread)~0.02 early), which is
+            # measured to leave eval exploration target-blind even for
+            # sharpened beliefs — so the eval runtime keeps shaping off
+            # and relies on the injected pdf's own contrast
+            # (fingerprint.test_runtime._make_target_pdf).
+            weight_temp=False,
             weight_env=False,
             vel_smoothing=0.5,
         )

@@ -19,6 +19,8 @@ Provenance map (table -> published number):
                                  re-localization of the least-certain object)
   k3-raw      PARITY section 6   K=3 with --target-sharpness 1 (the
                                  reference's raw target-blind belief)
+  k3-study    PARITY section 6   3-seed x 3-mode (raw/fixed/active)
+                                 aggregate study (scripts/k3_study.py)
   arm         PARITY section 7   arm-backend flagship study, seeds 0/1/2
   force       PARITY section 4   force-learning end-to-end study
   bench       README headline    explore+learn step rate (bench.py)
@@ -80,6 +82,13 @@ TABLES = {
         "cmd": _sub("run_fingerprint_matrix.py", "--objects", 3,
                     "--learn-steps", 800, "--id-steps", 500, "--seed", 0,
                     "--target-sharpness", 1.0),
+        "out": True,
+        "small_ok": True,
+    },
+    "k3-study": {
+        "doc": "PARITY 6: 3-seed x 3-mode (raw/fixed/active) K=3 "
+               "aggregate study; writes summary.md/json",
+        "cmd": _sub("k3_study.py"),
         "out": True,
         "small_ok": True,
     },

@@ -24,7 +24,7 @@ Provenance map (table -> published number):
   arm         PARITY section 7   arm-backend flagship study, seeds 0/1/2
   force       PARITY section 4   force-learning end-to-end study
   bench       README headline    explore+learn step rate (bench.py)
-  soak        PARITY soak note   reference-length 3000-step run
+  soak        PARITY section 8   reference-length 3000-step run
                                  (scripts/run_experiment.py --post-train)
 
 The heavy studies need the TPU chip; on a CPU-only box pass --small where

@@ -48,10 +48,10 @@ METHODS = ("L2", "KL", "BC", "L2_error")
 
 
 def run_one(seed: int, mode: str, out: str, small: bool,
-            learn_steps: int, id_steps: int) -> int:
+            learn_steps: int, id_steps: int, objects: int = 3) -> int:
     os.makedirs(out, exist_ok=True)
     cmd = [PY, os.path.join(REPO, "scripts", "run_fingerprint_matrix.py"),
-           "--objects", "3", "--learn-steps", str(learn_steps),
+           "--objects", str(objects), "--learn-steps", str(learn_steps),
            "--id-steps", str(id_steps), "--seed", str(seed),
            "--out", out] + MODES[mode] + (["--small"] if small else [])
     with open(os.path.join(out, "log.txt"), "w") as f:
@@ -107,14 +107,14 @@ def aggregate(out_root: str, seeds, modes=tuple(MODES)):
     return runs, summary
 
 
-def render(summary, seeds) -> str:
+def render(summary, seeds, objects: int = 3) -> str:
     lines = [
-        "# K=3 belief-target study "
+        f"# K={objects} belief-target study "
         f"(seeds {', '.join(map(str, seeds))})",
         "",
         "Aggregates across seeds; `worst` = the least-localized object's "
-        "error (the reference's K=3 failure mode), `mean` = mean over "
-        "the 3 objects.",
+        "error (the reference's multi-object failure mode), `mean` = "
+        f"mean over the {objects} objects.",
         "",
         "| mode | method | mean err (avg over seeds) | "
         "worst-object err (avg) | worst-object err (max) |",
@@ -137,6 +137,8 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "runs", "k3study"))
     ap.add_argument("--learn-steps", type=int, default=800)
     ap.add_argument("--id-steps", type=int, default=500)
+    ap.add_argument("--objects", type=int, default=3,
+                    help="object count K (the K=4 replication uses 4)")
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--parse-only", action="store_true",
                     help="aggregate existing <out>/s<seed>_<mode>/log.txt "
@@ -149,12 +151,13 @@ def main():
                 out = os.path.join(args.out, f"s{seed}_{mode}")
                 print(f"=== seed {seed} mode {mode} -> {out}", flush=True)
                 rc = run_one(seed, mode, out, args.small,
-                             args.learn_steps, args.id_steps)
+                             args.learn_steps, args.id_steps,
+                             objects=args.objects)
                 if rc != 0:
                     print(f"    rc={rc} (see {out}/log.txt)", flush=True)
 
     runs, summary = aggregate(args.out, args.seeds, args.modes)
-    md = render(summary, args.seeds)
+    md = render(summary, args.seeds, objects=args.objects)
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "summary.md"), "w") as f:
         f.write(md)

@@ -116,8 +116,11 @@ def main():
             )
         block = 50
         infos = None
+        t_steady = None  # set after block 1, which pays the jit compiles
         for _ in range(max(1, args.learn_steps // block)):
             es = runner.run(es, block)
+            if t_steady is None:
+                t_steady = time.perf_counter()
             if monitor and int(es.explr_step) % max(args.cluster_every, 1) < block:
                 n = int(es.buf.size)
                 res, stable = monitor.update(
@@ -129,10 +132,16 @@ def main():
                       f"{np.round(np.asarray(res.means[:, :2]), 2).tolist()} "
                       f"stable={stable}", flush=True)
         wall = time.perf_counter() - t0
+        steady = ""
+        n_steady = int(es.explr_step) - block
+        if n_steady > 0 and t_steady is not None:
+            w = time.perf_counter() - t_steady
+            steady = (f"; steady-state {n_steady/w:.2f} Hz after the "
+                      f"first {block}-step block pays the jit compiles")
         print(f"{int(es.explr_step)} host-loop learning steps on "
               f"'{args.backend}' backend in {wall:.0f}s "
-              f"({int(es.explr_step)/wall:.2f} Hz); recovery events: "
-              f"{runner.events or 'none'}", flush=True)
+              f"({int(es.explr_step)/wall:.2f} Hz incl. compile{steady}); "
+              f"recovery events: {runner.events or 'none'}", flush=True)
         final_loss = float("nan")
     else:
         run = jax.jit(lambda s: exp.run_chunk(s, 50))

@@ -233,12 +233,13 @@ class FingerprintTestRuntime:
             self.params, ev, (tuple(self.beliefs),))
         rs = np.asarray(outs["robot_state"])
         da = np.asarray(outs["dists"])  # (n_steps, 1, K)
+        sk = np.asarray(outs["seek_k"])  # hoisted: one fetch, not one/step
         for i in range(0, n_steps, update_every):
             self.history.append({
                 "step": i,
                 "dists": da[i, 0],
                 "robot_state": rs[i],
-                "seek_k": int(np.asarray(outs["seek_k"])[i]),
+                "seek_k": int(sk[i]),
             })
         self.beliefs = list(beliefs_out[0])
         return self.beliefs, self.history

@@ -305,7 +305,8 @@ class NativeBridge(RobotBridge):
         # AttributeError inside the daemon thread — reject loudly rather
         # than report a success the robot will never execute
         if not (hasattr(self.driver, "apply_pose")
-                and hasattr(self.driver, "pose_matrix")):
+                and hasattr(self.driver, "pose_matrix")
+                and hasattr(self.driver, "pose_to_matrix")):
             return False
         if brightness >= 0 and self.brightness_node is not None:
             self.brightness_node.update(brightness)

@@ -20,7 +20,7 @@ pause. Every recovery event is logged to the MetricsLog.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import KW_ONLY, dataclass, field
 from typing import Optional
 
 import jax
@@ -55,6 +55,10 @@ class HostLoopRunner:
 
     exp: Experiment
     bridge: object
+    # Everything below is keyword-only: the runner grew fields over time and
+    # a positional third argument (historically ``metrics``) must not
+    # silently rebind to a newer field.
+    _: KW_ONLY
     # Pipelined stepping (default): the plan for step t+1 is computed INSIDE
     # the same device program that absorbs step t's observation, so each
     # step pays one observe fetch + one (overlapped) command fetch instead
@@ -95,7 +99,11 @@ class HostLoopRunner:
         # programs (the tray->robot conversion runs inside them — an eager
         # _robot_state_from_obs costs several round-trips), and the plan's
         # (vel6, b_cmd) pair comes back as a single packed (7,) buffer.
-        def _plan_obs(es, pose6, vel6, b):
+        def _plan_cmd7(es, pose6, vel6, b):
+            # the single definition of the packed-command convention:
+            # cmd7 = [vel6 | brightness, -1.0 = keep current]. All three
+            # step forms (serial, host-pipelined, device-resident) plan
+            # through here so the convention cannot desynchronize.
             full_state = exp._robot_state_from_obs(pose6, vel6, b)
             pstate, vel6_cmd, b_cmd, info = exp.plan_step(es, full_state)
             cmd7 = jnp.concatenate([
@@ -104,6 +112,9 @@ class HostLoopRunner:
                 else jnp.reshape(b_cmd, (1,)),
             ])
             return pstate, cmd7, info
+
+        def _plan_obs(es, pose6, vel6, b):
+            return _plan_cmd7(es, pose6, vel6, b)
 
         def _absorb_obs(es, pstate, info, pose6, vel6, b, img, force):
             robot_state = exp._robot_state_from_obs(pose6, vel6, b)[:s_dim]
@@ -119,14 +130,8 @@ class HostLoopRunner:
             robot_state = exp._robot_state_from_obs(pose6, vel6, b)[:s_dim]
             es, tick_info = exp.absorb_step(es, pstate, info, robot_state,
                                             img, force)
-            full_state = exp._robot_state_from_obs(
-                plan_pose6, plan_vel6, plan_b)
-            pstate2, vel6_cmd, b_cmd, info2 = exp.plan_step(es, full_state)
-            cmd7 = jnp.concatenate([
-                vel6_cmd,
-                jnp.full((1,), -1.0) if b_cmd is None
-                else jnp.reshape(b_cmd, (1,)),
-            ])
+            pstate2, cmd7, info2 = _plan_cmd7(
+                es, plan_pose6, plan_vel6, plan_b)
             return es, pstate2, cmd7, info2, tick_info
 
         self._plan = jax.jit(_plan_obs)
@@ -160,15 +165,8 @@ class HostLoopRunner:
                 robot_state = exp._robot_state_from_obs(
                     pose6, vel6, b)[:s_dim]
                 es, tick_info = exp.absorb_step(
-                    es, pstate, info, robot_state, img, flat[12:13])
-                full_state = exp._robot_state_from_obs(pose6, vel6, b)
-                pstate2, vel6_cmd, b_cmd, info2 = exp.plan_step(
-                    es, full_state)
-                cmd7 = jnp.concatenate([
-                    vel6_cmd,
-                    jnp.full((1,), -1.0) if b_cmd is None
-                    else jnp.reshape(b_cmd, (1,)),
-                ])
+                    es, pstate, info, robot_state, img, flat[12:12 + nf])
+                pstate2, cmd7, info2 = _plan_cmd7(es, pose6, vel6, b)
                 return es, pstate2, cmd7, info2, tick_info
 
             self._absorb_plan_flat = jax.jit(_absorb_plan_flat)

@@ -14,7 +14,6 @@ program and subtracted. The in-context number is the only one that counts
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -25,16 +24,6 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def _timed(run, sync, reps=3, inner=1):
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = run()
-        sync(out)
-        best = min(best, (time.perf_counter() - t0) / inner)
-    return best
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true")
@@ -43,15 +32,12 @@ def main():
 
     from ealv_tpu.utils.config import ExperimentConfig
     from ealv_tpu.runtime import Experiment
+    # bench.py IS the benchmark methodology — import it rather than keep a
+    # second copy that can drift (the published numbers and these A/Bs must
+    # share the dispatch-subtraction convention to be comparable)
+    from bench import _dispatch_overhead, _measure_chunk
 
-    # dispatch overhead (bench.py methodology)
-    def empty(x):
-        def b(c, _):
-            return c + 1.0, None
-        return jax.lax.scan(b, x, None, length=25)[0]
-    empty_j = jax.jit(empty)
-    _ = float(empty_j(0.0))
-    t_disp = _timed(lambda: empty_j(0.0), float)
+    t_disp = _dispatch_overhead()
     print(f"[ab] dispatch overhead {t_disp*1e3:.1f} ms", file=sys.stderr)
 
     variants = [False, "pallas"] if not args.all else [
@@ -65,15 +51,7 @@ def main():
         )
         exp = Experiment(cfg, train_calls_per_tick=1, train_every=1)
         es = exp.init(seed=0)
-        run = jax.jit(lambda s: exp.run_chunk(s, args.chunk))
-        es, infos = run(es)
-        _ = float(infos["loss"][-1])  # compile + warm
-        t = _timed(
-            lambda: run(es),
-            lambda o: float(o[1]["loss"][-1])
-            + float(jax.tree.leaves(o[0].params)[0].sum()),
-            inner=args.chunk,
-        ) - t_disp / args.chunk
+        t, _es, _infos = _measure_chunk(exp, es, args.chunk, t_disp)
         name = variant if isinstance(variant, str) else "xla"
         results[name] = t
         print(f"[ab] {name:8s} inline tick {t*1e3:.2f} ms/step "

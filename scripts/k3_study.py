@@ -107,11 +107,20 @@ def aggregate(out_root: str, seeds, modes=tuple(MODES)):
     return runs, summary
 
 
-def render(summary, seeds, objects: int = 3) -> str:
+def render(summary, seeds, objects: int = 3, missing=()) -> str:
     lines = [
         f"# K={objects} belief-target study "
         f"(seeds {', '.join(map(str, seeds))})",
         "",
+    ]
+    if missing:
+        lines += [
+            "**INCOMPLETE** — the following runs failed or produced no "
+            "parseable table and are ABSENT from every aggregate below: "
+            + ", ".join(f"s{s}_{m}" for m, s in missing) + ".",
+            "",
+        ]
+    lines += [
         "Aggregates across seeds; `worst` = the least-localized object's "
         "error (the reference's multi-object failure mode), `mean` = "
         f"mean over the {objects} objects.",
@@ -157,16 +166,26 @@ def main():
                     print(f"    rc={rc} (see {out}/log.txt)", flush=True)
 
     runs, summary = aggregate(args.out, args.seeds, args.modes)
-    md = render(summary, args.seeds, objects=args.objects)
+    # a failed/unparseable run must not silently shrink the aggregate:
+    # mark it in the tables and fail the invocation (repro.py checks rc)
+    missing = [(m, s) for m in args.modes for s in args.seeds
+               if (m, s) not in runs]
+    md = render(summary, args.seeds, objects=args.objects, missing=missing)
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "summary.md"), "w") as f:
         f.write(md)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump({"runs": {f"{m}_s{s}": v
                             for (m, s), v in runs.items()},
-                   "summary": summary}, f, indent=1)
+                   "summary": summary,
+                   "missing": [f"s{s}_{m}" for m, s in missing]},
+                  f, indent=1)
     print(md)
     print(f"summary -> {args.out}/summary.md")
+    if missing:
+        print(f"ERROR: {len(missing)} run(s) missing from the aggregate",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

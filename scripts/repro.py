@@ -241,18 +241,19 @@ def planner_study(seeds=(0, 1, 2), steps=300, out_dir=None,
 
 
 def _probe_backend() -> bool:
-    """One bounded jax.devices() probe in a subprocess (the studies hang
-    indefinitely on a dead TPU tunnel otherwise — the BENCH_r03 failure
-    mode). Skipped when the caller already pinned a platform."""
+    """Bounded-retry probe of the TPU backend before launching any study
+    (they hang indefinitely on a dead tunnel otherwise — the BENCH_r03
+    failure mode). Reuses bench._acquire_backend so there is exactly ONE
+    probe methodology in the repo: same retries/backoff knobs, and the
+    same wrong-platform rejection (a CPU-fallback jax.devices() success
+    must not let a 'TPU study' silently run on CPU). Skipped when the
+    caller already pinned a platform."""
     if os.environ.get("JAX_PLATFORMS"):
         return True
-    try:
-        r = subprocess.run(
-            [PY, "-c", "import jax; jax.devices()"],
-            capture_output=True, timeout=120)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    sys.path.insert(0, REPO)
+    from bench import _acquire_backend
+    ok, _attempts = _acquire_backend()
+    return ok
 
 
 def run_table(name: str, small: bool = False) -> int:

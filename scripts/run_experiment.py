@@ -163,7 +163,7 @@ def main():
 
         bridge = SyntheticBridge(exp.env, es.env)
         runner = HostLoopRunner(
-            exp, bridge, ml, killer=GracefulKiller(),
+            exp, bridge, metrics=ml, killer=GracefulKiller(),
             save_fn=lambda s: save_checkpoint(
                 os.path.join(dirp, "checkpoints"), s, step=int(s.explr_step)),
         )

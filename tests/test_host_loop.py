@@ -323,6 +323,19 @@ class TestPipelinedHostLoop:
         runner = HostLoopRunner(exp, _Bridge())
         assert runner._brightness(np.zeros(6)) == pytest.approx(0.37)
 
+    def test_config_fields_are_keyword_only(self, exp):
+        # Regression: HostLoopRunner(exp, bridge, ml) used to silently bind
+        # a MetricsLog positional to the later-added `pipeline` field,
+        # discarding the run's event log. Everything past `bridge` is
+        # KW_ONLY so that call now fails loudly.
+        bridge, _es = make_bridge(exp)
+        with pytest.raises(TypeError):
+            HostLoopRunner(exp, bridge, MetricsLog(None, echo=False))
+        runner = HostLoopRunner(exp, bridge,
+                                metrics=MetricsLog(None, echo=False))
+        assert isinstance(runner.metrics, MetricsLog)
+        assert runner.pipeline is True  # defaults undisturbed
+
 
 class _Attr:
     """Auto-vivifying attribute bag for geometry messages."""

@@ -67,3 +67,33 @@ def test_aggregate_skips_missing_runs(tmp_path):
     m = _load()
     runs, summary = m.aggregate(str(tmp_path), seeds=[0, 1])
     assert runs == {} and summary == {}
+
+
+def test_missing_runs_marked_and_fail_the_invocation(tmp_path, monkeypatch,
+                                                     capsys):
+    # a failed/unparseable run must not silently shrink the aggregate: the
+    # summary carries an INCOMPLETE banner naming the absent runs and the
+    # script exits nonzero (repro.py propagates the rc)
+    import json
+    import sys
+
+    import pytest
+
+    m = _load()
+    md = m.render({}, [0], missing=[("active", 0)])
+    assert "INCOMPLETE" in md and "s0_active" in md
+
+    d = tmp_path / "s0_active"
+    d.mkdir()
+    (d / "log.txt").write_text(
+        "| method | per-object error | mean error |\n"
+        "| L2 | 0.3, 0.1, 0.5 | 0.3 |\n")
+    monkeypatch.setattr(sys, "argv", [
+        "k3_study.py", "--parse-only", "--seeds", "0", "1",
+        "--modes", "active", "--out", str(tmp_path)])
+    with pytest.raises(SystemExit) as ei:
+        m.main()
+    assert ei.value.code == 1
+    saved = json.load(open(tmp_path / "summary.json"))
+    assert saved["missing"] == ["s1_active"]
+    assert "INCOMPLETE" in (tmp_path / "summary.md").read_text()

@@ -109,6 +109,12 @@ class SyntheticBridge(RobotBridge):
             return s2, flat, flat[:nsmall]
 
         self._cmd_observe = jax.jit(_cmd_observe)
+        # the UN-jitted pure form: HostLoopRunner inlines it into its fused
+        # cmd+observe+absorb+plan program so a steady-state step costs ONE
+        # dispatch (cmd_observe_device + a separate absorb dispatch costs
+        # two tunnel round-trips). Exposed only by SyntheticBridge — a real
+        # robot's command must cross the host boundary.
+        self.cmd_observe_pure = _cmd_observe
 
     def klerg_cmd(self, twist6, brightness: float = -1.0) -> bool:
         if self.pause.paused:

@@ -139,6 +139,7 @@ class HostLoopRunner:
         self._absorb_plan = jax.jit(_absorb_plan_obs)
         self._obs = None  # last sensed (pose6, vel6, force, img), host-side
         self._pending = None  # pipelined (pstate, info, cmd7 device array)
+        self._prev_small = None  # fused path: deferred watchdog slice
 
         # Device-resident fast path: when the bridge can fuse command +
         # observe into one device program whose observation never leaves
@@ -153,6 +154,7 @@ class HostLoopRunner:
         # the escape handled by the standard path).
         self._fast = bool(self.pipeline) and bool(self.device_fast) and bool(
             getattr(self.bridge, "device_fast_path_ok", lambda: False)())
+        self._cmd_absorb_plan = None  # set below when the bridge allows it
         if self._fast:
             nf = int(getattr(self.bridge, "_force_size", 1))
             img_shape = tuple(self.bridge._img_shape)
@@ -164,12 +166,48 @@ class HostLoopRunner:
                 img = jnp.reshape(flat[13 + nf:], img_shape)
                 robot_state = exp._robot_state_from_obs(
                     pose6, vel6, b)[:s_dim]
+                # the replay ring stores ONE force scalar per sample
+                # (ReplayBuffer.force is (cap, 1)); take the leading
+                # element exactly as the host-side path's f[:1] does
                 es, tick_info = exp.absorb_step(
-                    es, pstate, info, robot_state, img, flat[12:12 + nf])
+                    es, pstate, info, robot_state, img, flat[12:13])
                 pstate2, cmd7, info2 = _plan_cmd7(es, pose6, vel6, b)
                 return es, pstate2, cmd7, info2, tick_info
 
             self._absorb_plan_flat = jax.jit(_absorb_plan_flat)
+
+            # Single-dispatch steady state: when the bridge also exposes
+            # the UN-jitted cmd+observe (SyntheticBridge.cmd_observe_pure),
+            # fuse it WITH the absorb/plan half into ONE program. A
+            # steady-state step then pays one dispatch + two small
+            # in-flight copies instead of two dispatches — on a ~30 ms-RTT
+            # tunnel that is the two-dispatch path's dominant cost. The
+            # command itself never crosses the host boundary (its async
+            # copy still lands for the watchdog/event layer). Guarded on
+            # the exact class method so a subclass that customizes
+            # cmd_observe_device keeps its override in the loop.
+            from ealv_tpu.hw.bridge import SyntheticBridge
+            pure = getattr(self.bridge, "cmd_observe_pure", None)
+            if pure is not None and (
+                    type(self.bridge).cmd_observe_device
+                    is not SyntheticBridge.cmd_observe_device):
+                pure = None
+
+            if pure is not None:
+                def _cmd_absorb_plan(es, pstate, info, env_s, cmd7):
+                    env_s2, flat, small = pure(env_s, cmd7)
+                    pose6, vel6 = flat[:6], flat[6:12]
+                    b = flat[12 + nf]
+                    img = jnp.reshape(flat[13 + nf:], img_shape)
+                    robot_state = exp._robot_state_from_obs(
+                        pose6, vel6, b)[:s_dim]
+                    es, tick_info = exp.absorb_step(
+                        es, pstate, info, robot_state, img, flat[12:13])
+                    pstate2, cmd7n, info2 = _plan_cmd7(es, pose6, vel6, b)
+                    return (es, pstate2, cmd7n, info2, tick_info,
+                            env_s2, small)
+
+                self._cmd_absorb_plan = jax.jit(_cmd_absorb_plan)
 
     # ------------------------------------------------------------------
     def hooks(self) -> ControlHooks:
@@ -191,6 +229,7 @@ class HostLoopRunner:
         self.bridge.reset()
         self._obs = None  # pose may have jumped; re-sense before planning
         self._pending = None  # any in-flight plan is now stale
+        self._prev_small = None  # deferred watchdog slice is pre-reset
         self._log("recover", "bridge reset + controller re-arm")
 
     # ------------------------------------------------------------------
@@ -209,6 +248,7 @@ class HostLoopRunner:
         )
         self._obs = None  # moved: next step must re-sense
         self._pending = None
+        self._prev_small = None
         if not ok:
             self._log("goal_seek_failed",
                       f"goal {np.round(np.asarray(goal_pose6), 3)} "
@@ -224,6 +264,7 @@ class HostLoopRunner:
             # in-flight plan (and the cached frame it came from) is stale
             self._pending = None
             self._obs = None
+            self._prev_small = None
             return es  # no motion while paused/manual (sensor_utils :556-578)
 
         if self._fast:
@@ -317,13 +358,21 @@ class HostLoopRunner:
                 self._log("killed", "graceful shutdown requested")
                 break
             es = self.step(es)
+        # deferred-watchdog fused mode holds the last step's slice — check
+        # it before returning so every absorbed frame is watchdog-checked
+        # by the time a run() chunk hands control back to the caller
+        small, self._prev_small = self._prev_small, None
+        if small is not None:
+            self._check_watchdog(small)
         return es
 
     # ------------------------------------------------------------------
     def _step_fast(self, es: ExperimentState) -> ExperimentState:
-        """Device-resident pipelined step: one fused cmd+observe dispatch,
-        one fused absorb+plan dispatch, two small in-flight host copies.
-        The image never crosses the host boundary."""
+        """Device-resident pipelined step. With a fused-capable bridge
+        (SyntheticBridge.cmd_observe_pure) the whole step —
+        cmd+observe+absorb+plan — is ONE dispatch plus two small in-flight
+        host copies; otherwise one cmd+observe dispatch and one absorb+plan
+        dispatch. The image never crosses the host boundary either way."""
         if self._pending is None:
             # prime (first step, or after recover/goal-seek/pause/stuck):
             # plan from a fresh host observation, as the standard path does
@@ -333,62 +382,107 @@ class HostLoopRunner:
             pstate, cmd7_dev, info = self._plan(
                 es, np.asarray(pose6), np.asarray(vel6),
                 self._brightness(pose6))
-            cmd7 = np.asarray(cmd7_dev)
         else:
             pstate, info, cmd7_dev = self._pending
             self._pending = None
-            cmd7 = np.asarray(cmd7_dev)  # host copy in flight since dispatch
 
-        try:
-            res = self.bridge.cmd_observe_device(cmd7)
-        except Exception as e:  # service-exception parity (:153-166)
-            res = None
-            self._log("cmd_error", repr(e))
-        if res is None:
-            self.pause.pause()
-            self._log("cmd_failed", "velocity command rejected; pausing")
+        if self._cmd_absorb_plan is not None:
+            # ONE dispatch: the command stays a device array end to end.
+            # Re-check pause right before commanding (a panel/heartbeat
+            # thread may have paused mid-step) — klerg_cmd parity.
+            if self.pause.paused:
+                self._log("cmd_failed",
+                          "velocity command rejected; pausing")
+                self._obs = None
+                self._prev_small = None  # post-pause state is stale
+                return es
+            try:
+                (es, pstate2, cmd7_next, info2, _tick_info, env_s2,
+                 small) = self._cmd_absorb_plan(
+                    es, pstate, info, self.bridge.state, cmd7_dev)
+            except Exception as e:  # service-exception parity (:153-166)
+                self.pause.pause()
+                self._log("cmd_error", repr(e))
+                self._log("cmd_failed",
+                          "velocity command rejected; pausing")
+                self._obs = None
+                self._prev_small = None
+                return es
+            self.bridge.state = env_s2  # device handle; no fetch
+            small.copy_to_host_async()
+            self._pending = (pstate2, info2, cmd7_next)
             self._obs = None
-            return es
-        flat, small = res
+            # Deferred watchdog: sync the PREVIOUS step's slice, not this
+            # one. Syncing small_t here would stall the host until program
+            # t finishes, leaving the device idle for a full tunnel RTT
+            # between steps; checking t-1's slice AFTER dispatching t keeps
+            # one program queued on the device at all times, so the step
+            # rate approaches pure device time. Cost: a stuck hit is acted
+            # on one frame later (the reference's check_cmd likewise
+            # checks the previous loop iteration's cached state).
+            # (on the first fused step there is nothing to check yet —
+            # small becomes None and the watchdog block below is skipped)
+            small, self._prev_small = self._prev_small, small
+        else:
+            cmd7 = np.asarray(cmd7_dev)  # copy in flight since dispatch
+            try:
+                res = self.bridge.cmd_observe_device(cmd7)
+            except Exception as e:  # service-exception parity (:153-166)
+                res = None
+                self._log("cmd_error", repr(e))
+            if res is None:
+                self.pause.pause()
+                self._log("cmd_failed", "velocity command rejected; pausing")
+                self._obs = None
+                return es
+            flat, small = res
 
-        es, pstate2, cmd7_next, info2, tick_info = self._absorb_plan_flat(
-            es, pstate, info, flat)
-        cmd7_next.copy_to_host_async()  # overlap with robot motion
-        self._pending = (pstate2, info2, cmd7_next)
-        self._obs = None  # the fast path never holds a host-side image
+            es, pstate2, cmd7_next, info2, tick_info = (
+                self._absorb_plan_flat(es, pstate, info, flat))
+            cmd7_next.copy_to_host_async()  # overlap with robot motion
+            self._pending = (pstate2, info2, cmd7_next)
+            self._obs = None  # the fast path never holds a host-side image
 
         # watchdog slice: its copy has been in flight since before the
-        # absorb dispatch, so this sync overlaps device work, not adds to it
-        small_h = np.asarray(small)
-        pose2 = small_h[:6]
-        force2 = small_h[12:12 + self._nf]
-        moved_ok, escape = self.stuck.check(
-            pose2, force=self._escape_force(force2))
-        if not moved_ok:
-            # unlike the host-side path (escape BEFORE absorb), the wedged
-            # frame was already absorbed — rare-event tradeoff for the
-            # steady-state latency win; invalidate the pipeline so the next
-            # step primes from a post-escape observation
-            self._pending = None
-            if escape is not None:
-                esc6 = np.zeros(6)
-                esc6[:3] = escape[:3] if escape.shape[0] >= 3 else np.pad(
-                    escape, (0, 3 - escape.shape[0]))
-                try:
-                    self.bridge.klerg_cmd(esc6, -1.0)
-                except Exception as e:
-                    self._log("cmd_error", repr(e))
-                self._log("stuck_escape",
-                          f"pose {np.round(pose2[:3], 4)} "
-                          f"escape {np.round(esc6[:3], 4)}")
-            else:
-                self.bridge.reset()
-                self._log("stuck_reset", "no force reading; controller reset")
+        # (next) dispatch, so this sync overlaps device work, not adds to it
+        if small is not None:
+            self._check_watchdog(small)
 
         if self.pause.consume_save() and self.save_fn is not None:
             self.save_fn(es)
             self._log("save", f"checkpoint at step {int(es.explr_step)}")
         return es
+
+    def _check_watchdog(self, small):
+        """Stuck detection + escape on a watchdog slice (fast-path form of
+        the host-side check in step()). On a hit, invalidates the pipeline
+        so the next step primes from a post-escape observation — unlike the
+        host-side path (escape BEFORE absorb) the wedged frame was already
+        absorbed (in deferred-watchdog fused mode, up to two frames): the
+        rare-event tradeoff for the steady-state latency win."""
+        small_h = np.asarray(small)
+        pose2 = small_h[:6]
+        force2 = small_h[12:12 + self._nf]
+        moved_ok, escape = self.stuck.check(
+            pose2, force=self._escape_force(force2))
+        if moved_ok:
+            return
+        self._pending = None
+        self._prev_small = None  # held slice predates the escape
+        if escape is not None:
+            esc6 = np.zeros(6)
+            esc6[:3] = escape[:3] if escape.shape[0] >= 3 else np.pad(
+                escape, (0, 3 - escape.shape[0]))
+            try:
+                self.bridge.klerg_cmd(esc6, -1.0)
+            except Exception as e:
+                self._log("cmd_error", repr(e))
+            self._log("stuck_escape",
+                      f"pose {np.round(pose2[:3], 4)} "
+                      f"escape {np.round(esc6[:3], 4)}")
+        else:
+            self.bridge.reset()
+            self._log("stuck_reset", "no force reading; controller reset")
 
     # ------------------------------------------------------------------
     def _brightness(self, pose6):

@@ -244,6 +244,32 @@ class TestPipelinedHostLoop:
         np.testing.assert_allclose(np.asarray(e_p.buf.x[:6]),
                                    np.asarray(e_s.buf.x[:6]), atol=1e-5)
 
+    def test_fused_single_dispatch_gating(self, exp):
+        # SyntheticBridge exposes cmd_observe_pure, so the fast path fuses
+        # the whole step (cmd+observe+absorb+plan) into ONE program...
+        bridge, es = make_bridge(exp, seed=21)
+        runner = HostLoopRunner(exp, bridge, pipeline=True)
+        assert runner._fast and runner._cmd_absorb_plan is not None
+        es = runner.run(es, 4)
+        assert int(es.explr_step) == 4
+
+        # ...but a subclass that customizes cmd_observe_device must keep
+        # its override in the loop: the fused program would bypass it
+        class CustomDeviceBridge(SyntheticBridge):
+            def cmd_observe_device(self, cmd7):
+                return super().cmd_observe_device(cmd7)
+
+        bridge2, es2 = make_bridge(exp, seed=21)
+        bridge2 = CustomDeviceBridge(exp.env, es2.env)
+        r2 = HostLoopRunner(exp, bridge2, pipeline=True)
+        assert r2._fast and r2._cmd_absorb_plan is None
+        es2 = r2.run(es2, 4)
+        assert int(es2.explr_step) == 4
+        # both forms walk the same trajectory (pure latency optimization)
+        np.testing.assert_allclose(np.asarray(bridge.state.pose),
+                                   np.asarray(bridge2.state.pose),
+                                   atol=1e-5)
+
     def test_fast_path_falls_back_on_overridden_bridge(self, exp):
         # WedgedBridge overrides klerg_cmd, so the fused device program
         # would bypass its wedge behavior — device_fast_path_ok must

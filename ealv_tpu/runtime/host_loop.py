@@ -190,20 +190,19 @@ class HostLoopRunner:
             pure = getattr(self.bridge, "cmd_observe_pure", None)
             if pure is not None and (
                     type(self.bridge).cmd_observe_device
-                    is not SyntheticBridge.cmd_observe_device):
+                    is not SyntheticBridge.cmd_observe_device
+                    # instance-level monkeypatching (tests, shims) must
+                    # also keep its override in the loop
+                    or "cmd_observe_device" in self.bridge.__dict__):
                 pure = None
 
             if pure is not None:
+                # compose the un-jitted closures so the packed-observation
+                # convention lives in exactly one place (_absorb_plan_flat)
                 def _cmd_absorb_plan(es, pstate, info, env_s, cmd7):
                     env_s2, flat, small = pure(env_s, cmd7)
-                    pose6, vel6 = flat[:6], flat[6:12]
-                    b = flat[12 + nf]
-                    img = jnp.reshape(flat[13 + nf:], img_shape)
-                    robot_state = exp._robot_state_from_obs(
-                        pose6, vel6, b)[:s_dim]
-                    es, tick_info = exp.absorb_step(
-                        es, pstate, info, robot_state, img, flat[12:13])
-                    pstate2, cmd7n, info2 = _plan_cmd7(es, pose6, vel6, b)
+                    es, pstate2, cmd7n, info2, tick_info = (
+                        _absorb_plan_flat(es, pstate, info, flat))
                     return (es, pstate2, cmd7n, info2, tick_info,
                             env_s2, small)
 

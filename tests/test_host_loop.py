@@ -259,7 +259,7 @@ class TestPipelinedHostLoop:
             def cmd_observe_device(self, cmd7):
                 return super().cmd_observe_device(cmd7)
 
-        bridge2, es2 = make_bridge(exp, seed=21)
+        es2 = exp.init(seed=21)
         bridge2 = CustomDeviceBridge(exp.env, es2.env)
         r2 = HostLoopRunner(exp, bridge2, pipeline=True)
         assert r2._fast and r2._cmd_absorb_plan is None
@@ -269,6 +269,14 @@ class TestPipelinedHostLoop:
         np.testing.assert_allclose(np.asarray(bridge.state.pose),
                                    np.asarray(bridge2.state.pose),
                                    atol=1e-5)
+
+        # instance-level monkeypatching (tests, shims) must also disable
+        # the fused form, which would otherwise bypass the patch
+        bridge3, _es3 = make_bridge(exp, seed=21)
+        bridge3.cmd_observe_device = lambda cmd7: (_ for _ in ()).throw(
+            AssertionError("patched method must stay in the loop"))
+        r3 = HostLoopRunner(exp, bridge3, pipeline=True)
+        assert r3._fast and r3._cmd_absorb_plan is None
 
     def test_fast_path_falls_back_on_overridden_bridge(self, exp):
         # WedgedBridge overrides klerg_cmd, so the fused device program

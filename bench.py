@@ -432,9 +432,9 @@ def _run_benchmarks(args):
             f"[bench] HOSTLOOP speedups vs serial: pipelined "
             f"{rates['pipelined']/rates['serial']:.2f}x (plan t+1 fused "
             f"into absorb t's dispatch), device-resident "
-            f"{rates['DEVICE']/rates['serial']:.2f}x (observation never "
-            f"leaves the device; host sees only the (7,) command + the "
-            f"watchdog slice)",
+            f"{rates['DEVICE']/rates['serial']:.2f}x (whole step is one "
+            f"device program, command never leaves the device; host sees "
+            f"only the deferred watchdog slice)",
             file=sys.stderr,
         )
 

@@ -178,9 +178,14 @@ def main():
         # drive to the start pose with goal-seek retries before exploring
         start6 = np.asarray(bridge.klerg_start_pose())
         runner.drive_to_start(start6, yaw_index=5)
+        # honor --steps exactly: full blocks of --chunk, then the remainder
+        # (25-step blocks used to round a 6-step request up to 25)
         block = max(1, args.chunk)
-        for c in range(max(1, remaining // block)):
-            es = runner.run(es, block)
+        done = 0
+        while done < remaining:
+            n = min(block, remaining - done)
+            es = runner.run(es, n)
+            done += n
             ml.progress(int(es.explr_step), int(es.learning_ind), float("nan"))
             if runner.killer.kill_now:
                 break

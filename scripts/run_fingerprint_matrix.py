@@ -117,8 +117,11 @@ def main():
         block = 50
         infos = None
         t_steady = None  # set after block 1, which pays the jit compiles
-        for _ in range(max(1, args.learn_steps // block)):
-            es = runner.run(es, block)
+        done = 0
+        while done < args.learn_steps or done == 0:
+            n = min(block, max(args.learn_steps - done, 1))
+            es = runner.run(es, n)
+            done += n
             if t_steady is None:
                 t_steady = time.perf_counter()
             if monitor and int(es.explr_step) % max(args.cluster_every, 1) < block:

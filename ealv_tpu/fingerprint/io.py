@@ -27,16 +27,54 @@ def save_fingerprint(path: str, fp: dict) -> str:
 
 def load_fingerprints(paths):
     """Load capture artifacts -> list of dicts (FingerprintSet.from_lists
-    input). Accepts a directory (all *.npz inside) or explicit paths."""
+    input). Accepts a directory (all *.npz / *.pickle inside) or explicit
+    paths. Reference-format ``.pickle`` files (build_fingerprints:327-337)
+    load directly — migration seam for fingerprints captured by the torch
+    stack (pair with scripts/import_torch_checkpoint.py for the model so
+    the stored z's live in the same latent space)."""
     if isinstance(paths, (str, os.PathLike)):
         d = str(paths)
         paths = sorted(
-            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".npz")
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.endswith((".npz", ".pickle"))
         )
     out = []
     for p in paths:
-        data = np.load(p)
-        out.append({k: data[k] for k in _FP_KEYS})
+        if str(p).endswith(".pickle"):
+            out.append(_load_reference_pickle(p))
+        else:
+            data = np.load(p)
+            out.append({k: data[k] for k in _FP_KEYS})
+    return out
+
+
+def _load_reference_pickle(path):
+    """One reference fingerprint pickle -> our capture-dict convention.
+
+    Two bridges (both verified against the reference source):
+      - the reference's ``z_var`` is the VARIANCE (z_logvar.exp(),
+        fingerprint_builder.py:93-94); our artifacts keep the LOGVAR under
+        that key — convert with log()
+      - ``center_img`` may be channel-first; our convention is (H, W, C)
+    """
+    import pickle
+
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    d = {k: np.asarray(v, np.float32) for k, v in d.items()}
+    var = np.clip(d["z_var"], 1e-12, None)
+    img = d["center_img"]
+    if img.ndim == 3 and img.shape[0] in (1, 3) and img.shape[-1] not in (1, 3):
+        img = img.transpose(1, 2, 0)
+    out = {
+        "z_mu": d["z_mu"],
+        "z_var": np.log(var),
+        "x": d["x"],
+        "center": d["center"],
+        "center_img": img,
+    }
+    if "force" in d:
+        out["force"] = d["force"]
     return out
 
 

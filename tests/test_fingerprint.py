@@ -295,6 +295,37 @@ class TestArtifactIO:
         np.testing.assert_allclose(loaded[0]["z_mu"], fp["z_mu"])
         FingerprintSet.from_lists(loaded)  # pipes into identification
 
+    def test_reference_pickle_import(self, tmp_path, rng):
+        """Reference-format pickles (build_fingerprints:327-337) load into
+        the same pipeline: z_var there is the VARIANCE
+        (fingerprint_builder.py:93-94) -> our logvar convention, and a
+        channel-first center_img transposes to (H, W, C)."""
+        import pickle
+
+        from ealv_tpu.fingerprint import load_fingerprints
+        from ealv_tpu.fingerprint.identify import FingerprintSet
+
+        logvar = rng.uniform(-3, 1, (5, 4)).astype(np.float32)
+        ref_fp = {
+            "z_mu": rng.standard_normal((5, 4)).astype(np.float32),
+            "z_var": np.exp(logvar),  # the reference stores exp(z_logvar)
+            "x": rng.uniform(-1, 1, (5, 2)).astype(np.float32),
+            "center": np.array([0.1, -0.2], np.float32),
+            "center_img": rng.uniform(0, 1, (3, 8, 8)).astype(np.float32),
+            "force": rng.standard_normal((5, 1)).astype(np.float32),
+        }
+        with open(tmp_path / "duck_entklerg.pickle", "wb") as f:
+            pickle.dump(ref_fp, f)
+        loaded = load_fingerprints(str(tmp_path))
+        assert len(loaded) == 1
+        np.testing.assert_allclose(loaded[0]["z_var"], logvar, atol=1e-5)
+        np.testing.assert_allclose(loaded[0]["z_mu"], ref_fp["z_mu"])
+        assert loaded[0]["center_img"].shape == (8, 8, 3)
+        assert "force" in loaded[0]
+        fps = FingerprintSet.from_lists(loaded)  # pipes into identification
+        np.testing.assert_allclose(np.asarray(fps.z_logvar[0]), logvar,
+                                   atol=1e-5)
+
     def test_belief_roundtrip(self, tmp_path):
         from ealv_tpu.fingerprint import (FingerprintBelief, save_beliefs,
                                           load_beliefs)

@@ -4,16 +4,59 @@ Parity targets: the per-fingerprint capture pickles
 {z_mu, z_var, x, center, center_img} (build_fingerprints:327-337), loaded
 by FingerprintID (fingerprint_module.py:188-205), and the belief snapshots
 of FingerprintDist.save_results (:528-538). Stored as npz instead of
-pickles (portable, no code execution on load).
+pickles (portable, no code execution on load). Reference ``.pickle``
+inputs (the migration seam) go through a restricted unpickler that only
+admits numpy array reconstruction — arbitrary objects are refused, so a
+hostile pickle cannot execute code through this path either.
 """
 
 from __future__ import annotations
 
+import io as _io
 import os
+import pickle
+import warnings
 
 import numpy as np
 
 _FP_KEYS = ("z_mu", "z_var", "x", "center", "center_img")
+
+
+class _NumpyOnlyUnpickler(pickle.Unpickler):
+    """weights_only-style loader: numpy array machinery and nothing else.
+
+    The reference's capture pickles hold dicts of plain ndarrays
+    (fingerprint_builder.py:94 detaches to numpy before dumping), so this
+    whitelist is sufficient for every legitimate artifact while refusing
+    the GLOBAL opcodes an attacker would need for code execution.
+    """
+
+    _ALLOWED = {
+        ("numpy.core.multiarray", "_reconstruct"),
+        ("numpy._core.multiarray", "_reconstruct"),
+        ("numpy.core.multiarray", "scalar"),
+        ("numpy._core.multiarray", "scalar"),
+        ("numpy", "ndarray"),
+        ("numpy", "dtype"),
+        ("numpy.dtypes", "Float32DType"),
+        ("numpy.dtypes", "Float64DType"),
+        ("numpy.dtypes", "Int64DType"),
+        ("numpy.dtypes", "Int32DType"),
+        ("numpy.dtypes", "UInt8DType"),
+        ("numpy.dtypes", "BoolDType"),
+    }
+
+    def find_class(self, module, name):
+        if (module, name) in self._ALLOWED:
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name}: fingerprint pickles may "
+            f"only contain numpy arrays (restricted loader)")
+
+
+def _safe_pickle_load(path):
+    with open(path, "rb") as f:
+        return _NumpyOnlyUnpickler(_io.BytesIO(f.read())).load()
 
 
 def save_fingerprint(path: str, fp: dict) -> str:
@@ -32,7 +75,8 @@ def load_fingerprints(paths):
     load directly — migration seam for fingerprints captured by the torch
     stack (pair with scripts/import_torch_checkpoint.py for the model so
     the stored z's live in the same latent space)."""
-    if isinstance(paths, (str, os.PathLike)):
+    directory_mode = isinstance(paths, (str, os.PathLike))
+    if directory_mode:
         d = str(paths)
         paths = sorted(
             os.path.join(d, f) for f in os.listdir(d)
@@ -41,7 +85,18 @@ def load_fingerprints(paths):
     out = []
     for p in paths:
         if str(p).endswith(".pickle"):
-            out.append(_load_reference_pickle(p))
+            try:
+                out.append(_load_reference_pickle(p))
+            except (KeyError, ValueError, pickle.UnpicklingError) as e:
+                # reference run dirs also hold non-fingerprint pickles
+                # (belief snapshots with string fields, explr_update_info,
+                # ergodic_cost) — in directory mode skip them with a
+                # warning; an explicitly-listed path still fails loudly
+                if not directory_mode:
+                    raise
+                warnings.warn(
+                    f"skipping {p}: not a fingerprint capture pickle ({e})",
+                    stacklevel=2)
         else:
             data = np.load(p)
             out.append({k: data[k] for k in _FP_KEYS})
@@ -56,12 +111,17 @@ def _load_reference_pickle(path):
         fingerprint_builder.py:93-94); our artifacts keep the LOGVAR under
         that key — convert with log()
       - ``center_img`` may be channel-first; our convention is (H, W, C)
-    """
-    import pickle
 
-    with open(path, "rb") as f:
-        d = pickle.load(f)
-    d = {k: np.asarray(v, np.float32) for k, v in d.items()}
+    Loaded through the numpy-only restricted unpickler; a pickle holding
+    anything but arrays (or missing the capture keys) raises.
+    """
+    d = _safe_pickle_load(path)
+    if not isinstance(d, dict) or not all(k in d for k in _FP_KEYS):
+        missing = _FP_KEYS if not isinstance(d, dict) else [
+            k for k in _FP_KEYS if k not in d]
+        raise KeyError(f"missing fingerprint keys {missing}")
+    d = {k: np.asarray(v, np.float32) for k, v in d.items()
+         if not isinstance(v, (str, bytes))}
     var = np.clip(d["z_var"], 1e-12, None)
     img = d["center_img"]
     if img.ndim == 3 and img.shape[0] in (1, 3) and img.shape[-1] not in (1, 3):

@@ -211,7 +211,11 @@ def convert_state_dict(state_dict, model: CVAE):
     mstate = init_model_state(model)
     if "seed_x" in sd:
         seed_x = _np(sd["seed_x"]).reshape(-1)[: model.s_dim]
-        seed_y = _np(sd["seed_y"]).reshape(tuple(reversed(model.img_dim)))
+        # reference buffer is (1, C, H, W) (vae.py:96); img_dim here is
+        # (H, W, C), so the CHW target is (C, H, W) — NOT reversed(img_dim),
+        # which would scramble non-square frames as (C, W, H)
+        seed_y = _np(sd["seed_y"]).reshape(
+            (model.img_dim[2], model.img_dim[0], model.img_dim[1]))
         seed_y = seed_y.transpose(1, 2, 0)  # CHW -> HWC
         z = _np(sd["z_samples"]).reshape(-1)[: model.z_dim]
         initialized = bool(np.any(seed_y) or np.any(z) or np.any(seed_x))

@@ -326,6 +326,56 @@ class TestArtifactIO:
         np.testing.assert_allclose(np.asarray(fps.z_logvar[0]), logvar,
                                    atol=1e-5)
 
+    def test_directory_mode_skips_non_fingerprint_pickles(self, tmp_path, rng):
+        """Reference run dirs also hold belief snapshots (string fields,
+        fingerprint_module.py:537), explr_update_info.pickle, and
+        ergodic_cost.pickle — directory mode must skip those with a warning
+        instead of crashing, while an explicit path still fails loudly."""
+        import pickle
+
+        from ealv_tpu.fingerprint import load_fingerprints
+
+        good = {
+            "z_mu": rng.standard_normal((5, 4)).astype(np.float32),
+            "z_var": np.exp(rng.uniform(-3, 1, (5, 4))).astype(np.float32),
+            "x": rng.uniform(-1, 1, (5, 2)).astype(np.float32),
+            "center": np.array([0.1, -0.2], np.float32),
+            "center_img": rng.uniform(0, 1, (3, 8, 8)).astype(np.float32),
+        }
+        belief_snapshot = {"name": "duck", "states": "xy",
+                           "prior": np.zeros((4, 4), np.float32)}
+        with open(tmp_path / "duck_entklerg.pickle", "wb") as f:
+            pickle.dump(good, f)
+        with open(tmp_path / "duck_belief_0_0_0_10.pickle", "wb") as f:
+            pickle.dump(belief_snapshot, f)
+        with open(tmp_path / "ergodic_cost.pickle", "wb") as f:
+            pickle.dump(np.zeros(7, np.float32), f)
+        with pytest.warns(UserWarning, match="skipping"):
+            loaded = load_fingerprints(str(tmp_path))
+        assert len(loaded) == 1
+        np.testing.assert_allclose(loaded[0]["z_mu"], good["z_mu"])
+        # explicit path -> loud failure, no silent skip
+        with pytest.raises(KeyError):
+            load_fingerprints([str(tmp_path / "duck_belief_0_0_0_10.pickle")])
+
+    def test_pickle_loader_refuses_code_execution(self, tmp_path):
+        """The migration seam uses a numpy-only restricted unpickler: a
+        pickle that smuggles an arbitrary callable (the classic os.system
+        reduce) must be refused, not executed."""
+        import os
+        import pickle
+
+        from ealv_tpu.fingerprint import load_fingerprints
+
+        class Evil:
+            def __reduce__(self):
+                return (os.system, ("true",))
+
+        with open(tmp_path / "evil.pickle", "wb") as f:
+            pickle.dump({"z_mu": Evil()}, f)
+        with pytest.raises(pickle.UnpicklingError, match="refusing"):
+            load_fingerprints([str(tmp_path / "evil.pickle")])
+
     def test_belief_roundtrip(self, tmp_path):
         from ealv_tpu.fingerprint import (FingerprintBelief, save_beliefs,
                                           load_beliefs)

@@ -159,6 +159,33 @@ class TestConvertRGB:
         np.testing.assert_allclose(
             mstate.z, ref.z_samples[0].numpy(), atol=1e-6)
 
+    def test_buffer_import_non_square(self):
+        """Non-square frames (reference allows any --image-dim) must come
+        through unscrambled: the torch buffer is (1, C, H, W), so the CHW
+        reshape target is (C, H, W), not reversed(img_dim) = (C, W, H)."""
+        rng = np.random.default_rng(5)
+        hw = (26, 22)
+        from vae.vae import VAE as RefVAE
+        ref = RefVAE(
+            img_dim=(3, *hw), z_dim=Z, s_dim=S, hidden_dim=list(HIDDEN),
+            y_logvar_dim=1, CNNdict={k: list(v) for k, v in CNN.items()},
+        )
+        ref.eval()
+        x = rng.standard_normal((1, S)).astype(np.float32)
+        y = rng.random((1, 3, *hw)).astype(np.float32)
+        with torch.no_grad():
+            ref.update_dist(torch.tensor(x), torch.tensor(y))
+        model = CVAE(
+            img_dim=(*hw, 3), z_dim=Z, s_dim=S, hidden_dim=tuple(HIDDEN),
+            cnn_kernels=tuple(CNN["kernel_size"]),
+            cnn_strides=tuple(CNN["stride"]),
+            cnn_channels=tuple(CNN["channels"]),
+        )
+        _, mstate = convert_state_dict(ref.state_dict(), model)
+        assert mstate.seed_y.shape == (*hw, 3)
+        np.testing.assert_allclose(np.asarray(mstate.seed_y),
+                                   y[0].transpose(1, 2, 0), atol=1e-6)
+
     def test_fresh_state_dict_not_initialized(self):
         ref = _ref_model()
         model = _our_model()

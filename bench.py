@@ -69,11 +69,15 @@ def _fail_json(stage: str, attempts: list):
     }))
 
 
-def _acquire_backend():
+def _acquire_backend(allow_any_platform: bool = False):
     """Bounded-retry probe of the TPU backend in a SUBPROCESS (an in-process
     ``jax.devices()`` on a flaky tunnel can hang indefinitely and poisons the
     process-wide backend cache on failure). Returns (ok, attempts) where
     attempts is a list of {t, elapsed_s, outcome} records.
+
+    ``allow_any_platform`` (selfcheck mode): accept CPU too — the pre-flight
+    certifies the bench CODE PATH, not the numbers, and must be runnable
+    in-round without the tunnel.
 
     Knobs (for tests and driver tuning):
       EALV_BENCH_PROBE_RETRIES  (default 4)
@@ -89,9 +93,17 @@ def _acquire_backend():
                os.environ.get("EALV_BENCH_PROBE_BACKOFF", "5,15,30").split(",")]
     import shlex
     cmd_override = os.environ.get("EALV_BENCH_PROBE_CMD")
+    # a sitecustomize pre-imports jax and pins jax_platforms to the TPU
+    # plugin; re-apply JAX_PLATFORMS so `JAX_PLATFORMS=cpu bench.py
+    # --selfcheck` really probes CPU (for the real bench the platform
+    # check below still rejects anything that is not the TPU)
+    probe_src = (
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS')\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "d = jax.devices(); print(d[0].platform)\n")
     cmd = (shlex.split(cmd_override) if cmd_override else
-           [sys.executable, "-c",
-            "import jax; d = jax.devices(); print(d[0].platform)"])
+           [sys.executable, "-c", probe_src])
     attempts = []
     for i in range(retries):
         t0 = time.time()
@@ -99,7 +111,8 @@ def _acquire_backend():
             r = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=timeout)
             outcome = _probe_outcome(r.returncode, r.stdout, r.stderr,
-                                     overridden=cmd_override is not None)
+                                     overridden=(cmd_override is not None
+                                                 or allow_any_platform))
         except subprocess.TimeoutExpired:
             outcome = f"timeout>{timeout:g}s"
         except OSError as e:
@@ -209,14 +222,13 @@ def _measure_chunk(exp, es, chunk, t_dispatch):
     return t, es, infos
 
 
-def _stage_breakdown(cfg, exp1, es, t_dispatch, t_inline):
+def _stage_breakdown(cfg, exp1, es, t_dispatch, t_inline, K=100, S=100):
     """Per-stage timings of the inline tick, printed to stderr."""
     from ealv_tpu.runtime.trainer import train_call
     from ealv_tpu.models.cvae import update_dist
 
     stages = {}
 
-    K = 100
     def plan_scan(s):
         def body(ps, _):
             full = exp1._measured_robot_state(s.env)
@@ -246,7 +258,6 @@ def _stage_breakdown(cfg, exp1, es, t_dispatch, t_inline):
                                       lambda o: float(o[-1]), inner=4)
                                - t_dispatch / 4)
 
-    S = 100
     def sense_scan(s):
         def body(env, _):
             env = exp1.env.step_vel(env, jnp.full(6, 0.01), None)
@@ -282,9 +293,22 @@ def main():
                     help="additionally measure the deployment-shape rate: "
                          "HostLoopRunner driving a RobotBridge on the arm "
                          "backend (per-step dispatches + robustness layer)")
+    ap.add_argument("--selfcheck", action="store_true",
+                    help="pre-flight: run the FULL bench path (probe, "
+                         "dispatch calibration, inline+headline chunks, "
+                         "stage breakdown, JSON line) at toy sizes in <30 s "
+                         "so a breakage is caught in-round, not by the "
+                         "driver; accepts any backend (runnable on CPU) and "
+                         "marks the JSON line selfcheck:true")
     args = ap.parse_args()
 
-    ok, attempts = _acquire_backend()
+    if args.selfcheck and os.environ.get("JAX_PLATFORMS"):
+        # selfcheck must be runnable without the tunnel: honor an explicit
+        # JAX_PLATFORMS despite the sitecustomize plugin pin (the backend
+        # is not initialized yet — only cache config has been touched)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    ok, attempts = _acquire_backend(allow_any_platform=args.selfcheck)
     if not ok:
         _fail_json("probe", attempts)
         return
@@ -309,13 +333,14 @@ def _run_benchmarks(args):
     from ealv_tpu.utils.config import ExperimentConfig
     from ealv_tpu.runtime import Experiment
 
+    toy = args.selfcheck  # same code path, toy shapes (<30 s pre-flight)
     cfg = ExperimentConfig(
         states="xyw",
-        num_target_samples=2000,
-        num_traj_samples=3000,
-        image_dim=(180, 180, 3),
-        batch_size=64,
-        num_learning_opt=25,
+        num_target_samples=64 if toy else 2000,
+        num_traj_samples=100 if toy else 3000,
+        image_dim=(24, 24, 3) if toy else (180, 180, 3),
+        batch_size=8 if toy else 64,
+        num_learning_opt=2 if toy else 25,
     )
 
     t_dispatch = _dispatch_overhead()
@@ -329,11 +354,12 @@ def _run_benchmarks(args):
     es, _ = warm(es)
     _ = float(es.explr_step)
 
-    t_inline, es1, _ = _measure_chunk(exp1, es, 24, t_dispatch)
+    t_inline, es1, _ = _measure_chunk(exp1, es, 6 if toy else 24, t_dispatch)
     inline_hz = 1.0 / t_inline
 
     if not args.skip_stages:
-        _stage_breakdown(cfg, exp1, es, t_dispatch, t_inline)
+        _stage_breakdown(cfg, exp1, es, t_dispatch, t_inline,
+                         K=4 if toy else 100, S=4 if toy else 100)
 
     # MFU of the inline tick from the analytic model-FLOP count (the axon
     # backend's cost_analysis reports only the outer module). The tick is
@@ -351,7 +377,7 @@ def _run_benchmarks(args):
     # chunk 24 (multiple of train_every): amortizes the per-dispatch tunnel
     # cost the way a deployed run does (run_experiment chunks 25-50), and
     # the residual is subtracted explicitly
-    hchunk = 24
+    hchunk = 6 if toy else 24
     exp = Experiment(cfg, train_calls_per_tick=1, train_every=3)
     es = exp.init(seed=0)
     best, es, infos = _measure_chunk(exp, es, hchunk, t_dispatch)
@@ -438,12 +464,17 @@ def _run_benchmarks(args):
             file=sys.stderr,
         )
 
-    print(json.dumps({
+    line = {
         "metric": "explore_learn_step_rate",
         "value": round(hz, 2),
         "unit": "Hz",
         "vs_baseline": round(hz / 5.0, 2),
-    }))
+    }
+    if toy:
+        # toy-shape Hz is not comparable to the 5 Hz reference envelope
+        line["vs_baseline"] = None
+        line["selfcheck"] = True
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -57,6 +57,26 @@ class FingerprintBelief:
             lims[explr_states.rfind("w")] *= 1.33
         lims = lims * 1.15
         d = lims.shape[0]
+        # Capacity guard (documented limit): update_prior materializes a
+        # (G, meas_capacity, d) footprint, so memory scales as
+        # num_samples^d * meas_capacity. d<=3 at 50 samples/dim is ~32M
+        # elements; d=4 at 50/dim is 1.6e9 and would OOM a chip silently.
+        # The reference never runs a belief grid above d=3 either — it
+        # marginalizes angle dims (process_grid_dist :630-701, and our
+        # marginalize_angles below) to stay at 50^2/50^3. Fail loudly with
+        # the available knobs instead of letting XLA OOM.
+        cells = num_samples ** d
+        budget = 96 * 1024 * 1024  # elements in the (G, cap) intermediates
+        if cells * meas_capacity > budget:
+            fit = int((budget / meas_capacity) ** (1.0 / d))
+            raise ValueError(
+                f"belief grid too large: {num_samples}^{d} cells x "
+                f"meas_capacity={meas_capacity} = {cells * meas_capacity:.2e} "
+                f"elements in update_prior's footprint (budget {budget:.2e}). "
+                f"Use num_samples<={fit} at d={d}, reduce meas_capacity, or "
+                f"drop angle dims from explr_states and recover them via "
+                f"marginalize_angles (the reference's WeightedAvg path)."
+            )
         axes = [np.linspace(lo, hi, num_samples) for lo, hi in lims]
         mesh = np.meshgrid(*axes)
         grid = np.stack([m.ravel() for m in mesh], axis=1)

@@ -527,7 +527,7 @@ def serve_ros(bridge: RobotBridge, node_name: str = "ealv_bridge",
         import rospy
         import geometry_msgs.msg as geom
         from franka_test import srv as fsrv
-        from std_msgs.msg import Empty
+        from std_msgs.msg import Empty as _EmptyMsg
     except ImportError as e:
         raise ImportError(
             "serve_ros needs a ROS environment (rospy + franka_test msgs); "
@@ -542,7 +542,9 @@ def serve_ros(bridge: RobotBridge, node_name: str = "ealv_bridge",
         UpdateVelResponse = fsrv.UpdateVelResponse
         UpdateState = fsrv.UpdateState
         UpdateStateResponse = fsrv.UpdateStateResponse
-        Empty = Empty
+        # NB: a bare `Empty = Empty` here is a NameError — class bodies do
+        # not close over the enclosing function scope for shadowed names
+        Empty = _EmptyMsg
 
     server = RosBridgeServer(bridge, rospy, _Srv, geom,
                              node_name=node_name, rate_hz=rate_hz)

@@ -17,6 +17,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 if REPO not in sys.path:  # repo root holds bench.py (not an installed pkg)
@@ -133,3 +135,30 @@ def test_probe_rejects_cpu_fallback_platform():
     # overridden (test) probes are judged on exit code only
     assert bench_mod._probe_outcome(0, "", "", overridden=True) == "ok"
     assert bench_mod._probe_outcome(3, "", "boom", overridden=True).startswith("rc=3")
+
+
+@pytest.mark.slow
+def test_selfcheck_runs_full_path_at_toy_sizes():
+    """`bench.py --selfcheck` (VERDICT r4 #10): the full bench path — probe,
+    dispatch calibration, inline + headline chunks, stage breakdown, JSON
+    line — at toy sizes on whatever backend JAX_PLATFORMS names, so a bench
+    breakage is caught in-round instead of by the driver. ~2 min cold on
+    this 1-core CPU box; the JSON line must be parseable, marked
+    selfcheck:true, with vs_baseline null (toy Hz is not comparable to the
+    5 Hz reference envelope)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, BENCH, "--selfcheck"],
+                       capture_output=True, text=True, timeout=360,
+                       env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "explore_learn_step_rate"
+    assert rec["selfcheck"] is True
+    assert rec["vs_baseline"] is None
+    assert rec["value"] and rec["value"] > 0
+    assert "HEADLINE" in r.stderr and "INLINE" in r.stderr
+    # ran on the requested backend, not the tunnel
+    assert "axon" not in r.stderr.lower()

@@ -123,6 +123,25 @@ class TestBelief:
         out_max = marginalize_angles(jnp.asarray(p), (2, 2, 2), (0, 1), "max")
         assert (np.asarray(out_max) >= np.asarray(out)).all()
 
+    def test_capacity_guard_d4(self):
+        # 50^4 cells x cap 64 would materialize a 1.6e9-element footprint in
+        # update_prior; create must fail loudly with the documented knobs
+        # (the reference stays at d<=3 and marginalizes angles, see
+        # fingerprint_module.py:630-701) rather than let XLA OOM.
+        lims4 = [[-1, 1]] * 4
+        with pytest.raises(ValueError, match="marginalize_angles"):
+            FingerprintBelief.create("xyzw", lims4, num_samples=50)
+        # the suggested per-dim budget in the message must itself be valid
+        try:
+            FingerprintBelief.create("xyzw", lims4, num_samples=50)
+        except ValueError as e:
+            import re
+            fit = int(re.search(r"num_samples<=(\d+)", str(e)).group(1))
+        bel = FingerprintBelief.create("xyzw", lims4, num_samples=fit)
+        assert bel.grid.shape == (fit ** 4, 4)
+        # d=3 at the reference's 50 samples/dim stays allowed
+        FingerprintBelief.create("xyw", [[-1, 1]] * 3, num_samples=50)
+
 
 class TestClustering:
     def test_mean_shift_finds_two_modes(self, rng):

@@ -209,6 +209,11 @@ class StampedCache:
                 return None, None
             return min(self._buf, key=lambda sv: abs(sv[0] - t))
 
+    def stamps(self):
+        """All cached stamps, oldest first (loop-cadence diagnostics)."""
+        with self._lock:
+            return [s for s, _ in self._buf]
+
 
 @dataclass
 class NativeBridge(RobotBridge):
@@ -293,6 +298,25 @@ class NativeBridge(RobotBridge):
                 self.driver.apply_pose(self.mux.tick_pose(self.driver.pose_matrix()))
             time.sleep(self.dt)
 
+    def success_rate(self) -> float:
+        """The ``control_command_success_rate`` stand-in (franka's RT
+        deadline-hit ratio the reference reads per command,
+        cartesian_vel_interface.cpp:216-219): the achieved fraction of
+        expected ``1/dt`` control ticks over the recent window. 1.0 before
+        the loop starts (no evidence of degradation yet)."""
+        if self._native_loop is not None:
+            s = self._native_loop.stats()
+            if s["ticks"] <= 0 or s["elapsed_s"] <= 0:
+                return 1.0
+            return min(1.0, s["rate_hz"] * self.dt)
+        stamps = self._state_cache.stamps()
+        if len(stamps) < 2:
+            return 1.0
+        window = stamps[-1] - stamps[0]
+        if window <= 0:
+            return 1.0
+        return min(1.0, (len(stamps) - 1) * self.dt / window)
+
     # ---- service surface ----
     def klerg_cmd(self, twist6, brightness: float = -1.0) -> bool:
         if self.pause.paused:
@@ -300,7 +324,16 @@ class NativeBridge(RobotBridge):
         if brightness >= 0 and self.brightness_node is not None:
             self.brightness_node.update(brightness)
         self.mux.switch_mode(self._ControlMode.VELOCITY)
-        return self.mux.command_twist(np.asarray(twist6, np.float64))
+        # the reference's cmd_callback answers success only when the RT
+        # deadline-hit ratio is healthy, and resets the velocity ramp
+        # otherwise ("robot stopped moving so need to ramp up again from
+        # scratch", cartesian_vel_interface.cpp:216-219); the ramp reset
+        # lives in VelFilter::command(rt_ok=false) on the C++ side, and the
+        # False return makes the host loop pause until the recovery
+        # heartbeat resumes
+        rt_ok = self.success_rate() > 0.5
+        return bool(self.mux.command_twist(np.asarray(twist6, np.float64),
+                                           rt_ok))
 
     def klerg_pose(self, pose6, brightness: float = -1.0) -> bool:
         if self.pause.paused:

@@ -362,3 +362,111 @@ class TestStampAlignment:
         br, clock = self._bridge()
         pose, vel, force, img = br.observe()
         np.testing.assert_allclose(pose, np.zeros(6))
+
+
+class TestDegradedRate:
+    """Degraded control-rate handling through the PYTHON wiring (VERDICT r4
+    #8). Reference semantics (cartesian_vel_interface.cpp:216-219): each
+    velocity command answers success only while the RT deadline-hit ratio
+    (control_command_success_rate) is > 0.5, and a degraded command resets
+    the velocity ramp so motion restarts from scratch; the sensor side
+    treats the failed service call as a fault (pause + heartbeat recover)."""
+
+    def _bridge(self, t0=0.0):
+        from ealv_tpu.hw import NativeBridge
+
+        class FakeDriver:
+            def __init__(self):
+                self.pose = np.zeros(6)
+
+            def state(self):
+                return self.pose.copy(), np.zeros(6), np.zeros(6)
+
+            def apply_velocity(self, twist):
+                self.pose = self.pose + np.asarray(twist) * 1e-3
+
+            def apply_pose(self, m):
+                pass
+
+            def pose_matrix(self):
+                return np.eye(4).reshape(16)
+
+        clock = {"t": t0}
+        br = NativeBridge(driver=FakeDriver(), clock=lambda: clock["t"])
+        return br, clock
+
+    @staticmethod
+    def _push_cadence(br, start, n, period):
+        state = (np.zeros(6), np.zeros(6), np.zeros(6))
+        for i in range(n):
+            br._state_cache.push(start + i * period, state)
+        return start + (n - 1) * period
+
+    def test_success_rate_tracks_loop_cadence(self):
+        br, _ = self._bridge()
+        assert br.success_rate() == 1.0  # no evidence of degradation yet
+        # healthy: state samples arrive at the expected 1/dt cadence
+        t = self._push_cadence(br, 0.0, 64, br.dt)
+        assert br.success_rate() > 0.95
+        assert br.klerg_cmd([0.05, 0, 0, 0, 0, 0])
+        # degraded: the loop only achieves a tenth of the expected rate
+        self._push_cadence(br, t + br.dt, 64, 10 * br.dt)
+        assert br.success_rate() < 0.5
+        assert not br.klerg_cmd([0.05, 0, 0, 0, 0, 0])
+
+    def test_degraded_command_resets_ramp(self):
+        br, _ = self._bridge()
+        t = self._push_cadence(br, 0.0, 64, br.dt)
+        assert br.klerg_cmd([0.5, 0, 0, 0, 0, 0])
+        for _ in range(40):
+            v_healthy = br.mux.tick_velocity()
+        assert v_healthy[0] > 0.01  # the ramp built up toward the command
+
+        # loop degrades -> command REJECTED and the ramp resets from scratch
+        self._push_cadence(br, t + br.dt, 64, 10 * br.dt)
+        assert not br.klerg_cmd([0.5, 0, 0, 0, 0, 0])
+
+        # loop recovers -> commands accepted again, motion ramps up from
+        # zero ("robot stopped moving so need to ramp up again from
+        # scratch"), NOT from the previously built-up velocity
+        self._push_cadence(br, t + 1000.0, 64, br.dt)
+        assert br.success_rate() > 0.95
+        assert br.klerg_cmd([0.5, 0, 0, 0, 0, 0])
+        v_restart = br.mux.tick_velocity()
+        assert v_restart[0] < 0.5 * v_healthy[0]
+
+    @pytest.mark.slow
+    def test_degraded_rate_pauses_host_loop_then_recovers(self):
+        from ealv_tpu.runtime import HostLoopRunner
+        from ealv_tpu.runtime.watchdog import RecoveryHeartbeat
+        from test_host_loop import tiny_experiment
+
+        exp = tiny_experiment()
+        br, clock = self._bridge()
+        br.camera = lambda: (np.zeros((24, 24, 3), np.float32), clock["t"])
+        runner = HostLoopRunner(
+            exp, br,
+            heartbeat=RecoveryHeartbeat(period_s=100.0, timeout_s=0.0))
+        es = exp.init(seed=0)
+
+        t = self._push_cadence(br, 0.0, 64, br.dt)
+        es = runner.step(es)
+        es = runner.step(es)
+        assert not runner.pause.paused
+
+        # the 1 kHz loop degrades below the 0.5 success threshold -> the
+        # next commanded step fails the service call -> pause
+        self._push_cadence(br, t + br.dt, 64, 10 * br.dt)
+        es = runner.step(es)
+        assert runner.pause.paused
+        assert "cmd_failed" in runner.events
+
+        # cadence recovers -> heartbeat resumes (arm, then fire) and motion
+        # commands flow again
+        self._push_cadence(br, t + 1000.0, 64, br.dt)
+        es = runner.step(es)
+        es = runner.step(es)
+        assert not runner.pause.paused
+        assert "recover" in runner.events
+        es = runner.step(es)
+        assert not runner.pause.paused

@@ -398,6 +398,22 @@ class KlergPlanner:
             samples = jnp.concatenate([samples, recent[:, self.explr_locs]], 0)
         traj_hist, hist_mask = pstate.memory.sample(k_hist, cfg.num_traj_samples)
 
+        return self.plan_with_inputs(pstate._replace(key=key), pdf_ctx,
+                                     samples, traj_hist, hist_mask,
+                                     temp=temp, use_prior=use_prior)
+
+    def plan_with_inputs(self, pstate: PlannerState, pdf_ctx, samples,
+                         traj_hist, hist_mask, temp: float = 1.0,
+                         use_prior=False):
+        """The planner call AFTER sampling: target shaping, base footprint,
+        and the hybrid inner loop, on caller-provided (samples,
+        traj-history) inputs. ``plan`` draws them from the PRNG; this seam
+        exists so a step-matched parity test can feed BOTH planners one
+        identical frozen tuple and compare the accepted plan and cost
+        trajectory of a single kldiv_planner call (klerg.py:489-588)."""
+        cfg = self.cfg
+        H = cfg.horizon
+
         # --- target + base footprint
         p, tdist_aux = self._target_dist(pdf_ctx, pstate, samples, temp,
                                          use_prior=use_prior, with_aux=True)
@@ -476,7 +492,7 @@ class KlergPlanner:
         q_n = cost_norm(q_final)
         d_kl = jnp.sum(p_n * jnp.log(p_n / q_n))
 
-        pstate = pstate._replace(u=u, last_plan=last_plan, key=key)
+        pstate = pstate._replace(u=u, last_plan=last_plan)
         info = dict(samples=samples, p=p, q=q_final, cost=d_kl,
                     planned_traj=last_plan[:, self.explr_locs])
         # raw pdf + coverage for the trainer's entropy schedule (reused by

@@ -174,9 +174,12 @@ class Experiment:
         # environment over the full 6-dof tray box
         from ..utils.config import TRAY_LIM
         tray6 = tuple(TRAY_LIM[s] for s in "xyzrpw")
-        if cfg.sim_backend == "arm":
+        if cfg.sim_backend in ("arm", "arm-dynamic"):
             from ..sim.arm import ArmEnv
-            self.env = ArmEnv(tray_lim=tray6, dt=sim_dt, img_hw=cfg.image_dim[:2])
+            self.env = ArmEnv(tray_lim=tray6, dt=sim_dt,
+                              img_hw=cfg.image_dim[:2],
+                              dynamic_contact=cfg.sim_backend == "arm-dynamic",
+                              obj_mobility=cfg.obj_mobility)
         else:
             self.env = SyntheticEnv(tray_lim=tray6, dt=sim_dt,
                                     img_hw=cfg.image_dim[:2])
@@ -325,6 +328,14 @@ class Experiment:
         ``img``/``force`` the synced sensor sample. Pure and jittable."""
         cfg = self.cfg
         key, k_train, k_hp = jax.random.split(es.key, 3)
+
+        # a multi-axis contact wrench (ArmEnv dynamic_contact) reduces to
+        # its magnitude for the learning channel — the replay ring and the
+        # model's force input are one scalar per sample; the force
+        # DIRECTION is consumed only by the escape path (host_loop)
+        force = jnp.asarray(force, jnp.float32).ravel()
+        if force.shape[0] > 1:
+            force = jnp.linalg.norm(force)[None]
 
         # intensity mode collapses RGB to one channel (process_image_msg
         # parity, sensor_utils.py:284-297)

@@ -166,11 +166,10 @@ class HostLoopRunner:
                 img = jnp.reshape(flat[13 + nf:], img_shape)
                 robot_state = exp._robot_state_from_obs(
                     pose6, vel6, b)[:s_dim]
-                # the replay ring stores ONE force scalar per sample
-                # (ReplayBuffer.force is (cap, 1)); take the leading
-                # element exactly as the host-side path's f[:1] does
+                # the full nf-element force slice: absorb_step reduces a
+                # multi-axis wrench to ||F|| for the (cap, 1) replay ring
                 es, tick_info = exp.absorb_step(
-                    es, pstate, info, robot_state, img, flat[12:13])
+                    es, pstate, info, robot_state, img, flat[12:12 + nf])
                 pstate2, cmd7, info2 = _plan_cmd7(es, pose6, vel6, b)
                 return es, pstate2, cmd7, info2, tick_info
 
@@ -319,7 +318,13 @@ class HostLoopRunner:
                 self._log("stuck_reset", "no force reading; controller reset")
 
         f = np.asarray(force2, np.float32).ravel()
-        f = f[:1] if f.size else np.zeros(1, np.float32)
+        # absorb_step reduces a multi-axis wrench to ||F||; hand it a
+        # stable 1-element view here so the jitted absorb signature does
+        # not depend on the bridge's force width
+        if f.size > 1:
+            f = np.array([np.linalg.norm(f)], np.float32)
+        elif not f.size:
+            f = np.zeros(1, np.float32)
         if self.pipeline:
             # plan for the NEXT step rides the same dispatch as this absorb;
             # on a live-loop bridge it consumes the freshest ring state

@@ -147,6 +147,18 @@ class ArmEnv:
     drift_every: int = 20  # updatePybullet :305
     fix_z: bool = False  # drift correction pins z (bridge full_control flags)
     level_ee: bool = True  # drift correction re-levels roll/pitch
+    # -- dynamic (penalty) contact: force comes from simulated mechanics --
+    # Parity target: the PyBullet plant's rigid-body collision force read
+    # from the EE joint reaction sensor (franka_env.py:268-284). Objects
+    # are vertical cylinders; penetration resolves along the minimal exit
+    # direction (side normal or top), force = stiffness x depth, and a
+    # pushed object displaces by obj_mobility x penetration per step.
+    # obj_mobility=0.0 matches the reference's useFixedBase=True objects
+    # (franka_env.py:158-166: fixed-base URDFs — collision force without
+    # displacement); >0 adds the movable-object case.
+    dynamic_contact: bool = False
+    contact_stiffness: float = 500.0
+    obj_mobility: float = 0.0
 
     def _lims(self):
         return jnp.asarray(self.tray_lim, jnp.float32)
@@ -200,14 +212,71 @@ class ArmEnv:
         pen = jnp.maximum(top - pose[2], 0.0) + jnp.maximum(table_z - pose[2], 0.0)
         return jnp.clip(pen * 500.0, 0.0, self.max_force)
 
+    def _contact_wrench(self, pose, scene: TrayScene):
+        """Penalty contact force as a 3-vector from simulated mechanics
+        (dynamic_contact mode; parity: the EE joint reaction force of the
+        PyBullet plant, franka_env.py:268-284).
+
+        Each object is a vertical cylinder (center obj_xy, radius, height).
+        An EE point inside it resolves along the MINIMAL exit direction:
+        shallower side penetration -> outward radial force, shallower top
+        penetration -> +z force; magnitude = contact_stiffness x depth. The
+        table below the workspace pushes +z. Returns (force3 on the EE,
+        push_xy (K, 2) object displacements for obj_mobility > 0)."""
+        k = self.contact_stiffness
+        dxy = pose[None, :2] - scene.obj_xy  # (K, 2)
+        dist = jnp.linalg.norm(dxy, axis=1)
+        n_xy = dxy / jnp.maximum(dist, 1e-6)[:, None]
+        pen_side = scene.obj_radius - dist  # >0 when radially inside
+        pen_top = scene.obj_height - pose[2]  # >0 when below the top
+        inside = (pen_side > 0) & (pen_top > 0)
+        side_exit = pen_side < pen_top  # minimal-translation direction
+        f_side = jnp.where((inside & side_exit)[:, None],
+                           k * pen_side[:, None] * n_xy, 0.0)  # (K, 2)
+        f_top = jnp.where(inside & ~side_exit, k * pen_top, 0.0)  # (K,)
+        force = jnp.concatenate([jnp.sum(f_side, 0),
+                                 jnp.sum(f_top, keepdims=True)])
+        table_z = self._lims()[2, 0] - 0.01
+        force = force.at[2].add(k * jnp.maximum(table_z - pose[2], 0.0))
+        # Newton's third law: a side-pushed object displaces away from the
+        # EE by mobility x penetration (0 = fixed base, reference parity)
+        push_xy = jnp.where((inside & side_exit)[:, None],
+                            -self.obj_mobility * pen_side[:, None] * n_xy,
+                            0.0)
+        norm = jnp.linalg.norm(force)
+        scale = jnp.where(norm > self.max_force, self.max_force
+                          / jnp.maximum(norm, 1e-9), 1.0)
+        return force * scale, push_xy
+
+    def _apply_contact(self, s: "ArmState", q) -> TrayScene:
+        """Displace side-pushed objects (dynamic_contact only)."""
+        if not self.dynamic_contact or self.obj_mobility == 0.0:
+            return s.scene
+        pose = self._ee_pose(q)
+        _, push_xy = self._contact_wrench(pose, s.scene)
+        return s.scene._replace(obj_xy=s.scene.obj_xy + push_xy)
+
     def step_vel(self, s: ArmState, cmd_vel, cmd_brightness=None) -> ArmState:
         """EE-twist command -> pinv joint velocities, N substeps
         (franka_env.py:207-237) + force-aware z guard + periodic drift
         correction (franka_module :305-318)."""
         cmd = jnp.asarray(cmd_vel, jnp.float32)
-        force = self._contact_force(s.pose, s.scene)
-        blocked = force > 0.75 * self.max_force
-        cmd = cmd.at[2].set(jnp.where(blocked & (cmd[2] < 0), 0.0, cmd[2]))
+        if self.dynamic_contact:
+            # deep contact obstructs motion INTO the contact normal (the
+            # rigid plant physically stops there, producing the wedge the
+            # escape path exists for: vel_move_force_norm fires along the
+            # +force direction, which is exactly the free direction here)
+            f3, _ = self._contact_wrench(s.pose, s.scene)
+            fn = jnp.linalg.norm(f3)
+            blocked = fn > 0.75 * self.max_force
+            n = f3 / jnp.maximum(fn, 1e-9)  # force pushes the EE OUT
+            into = jnp.maximum(jnp.dot(cmd[:3], -n), 0.0)
+            cmd = cmd.at[:3].set(
+                jnp.where(blocked, cmd[:3] + into * n, cmd[:3]))
+        else:
+            force = self._contact_force(s.pose, s.scene)
+            blocked = force > 0.75 * self.max_force
+            cmd = cmd.at[2].set(jnp.where(blocked & (cmd[2] < 0), 0.0, cmd[2]))
 
         dt_sub = self.dt / self.substeps
         def sub(q, _):
@@ -234,7 +303,8 @@ class ArmEnv:
         vel = self._pose_rate(pose, s.pose)
         b = s.brightness if cmd_brightness is None else jnp.asarray(cmd_brightness)
         return s._replace(q=q, qdot=qdot, pose=pose.astype(jnp.float32),
-                          vel=vel.astype(jnp.float32), brightness=b, count=count)
+                          vel=vel.astype(jnp.float32), brightness=b,
+                          count=count, scene=self._apply_contact(s, q))
 
     def step_pose(self, s: ArmState, cmd_pose, cmd_brightness=None) -> ArmState:
         """IK position control (franka_env.py:238-244): DLS IK toward the
@@ -249,9 +319,16 @@ class ArmEnv:
         vel = self._pose_rate(pose, s.pose)
         b = s.brightness if cmd_brightness is None else jnp.asarray(cmd_brightness)
         return s._replace(q=q, qdot=dq / self.dt, pose=pose.astype(jnp.float32),
-                          vel=vel.astype(jnp.float32), brightness=b)
+                          vel=vel.astype(jnp.float32), brightness=b,
+                          scene=self._apply_contact(s, q))
 
     def observe(self, s: ArmState):
         img = render_camera(s.scene, s.pose, s.brightness, self.img_hw)
-        force = self._contact_force(s.pose, s.scene)
-        return s.pose, s.vel, force[None], img
+        if self.dynamic_contact:
+            # full contact force vector: the escape path steers along the
+            # force DIRECTION (vel_move_force_norm, sensor_utils.py:460-476);
+            # learning consumers reduce it to ||F|| (absorb_step)
+            force, _ = self._contact_wrench(s.pose, s.scene)
+        else:
+            force = self._contact_force(s.pose, s.scene)[None]
+        return s.pose, s.vel, force, img

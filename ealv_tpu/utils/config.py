@@ -79,8 +79,12 @@ class ExperimentConfig:
     explr_robot_lim_scale: float = 1.0
     # simulator backend: 'free' = clipped free-flying pose integrator,
     # 'arm' = joint-space 7-DOF kinematic arm (Jacobian-pinv vel control,
-    # DLS IK pose control, drift correction — sim/arm.py)
+    # DLS IK pose control, drift correction — sim/arm.py),
+    # 'arm-dynamic' = same arm with penalty contact mechanics: 3-vector
+    # contact force from cylinder penetration (franka_env.py:268-284
+    # parity) and optional object displacement (obj_mobility > 0)
     sim_backend: str = "free"
+    obj_mobility: float = 0.0  # m displaced per m of side penetration
     # model (test_config.yaml:69-82)
     image_dim: Tuple[int, int, int] = (180, 180, 3)  # post-downsample H, W, C
     z_dim: int = 16

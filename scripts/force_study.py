@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-samples", type=int, default=256)
+    ap.add_argument("--backend", default="free",
+                    choices=("free", "arm", "arm-dynamic"),
+                    help="plant: 'free' height-field contact (the original "
+                         "study), 'arm-dynamic' = 7-DOF arm with penalty "
+                         "contact MECHANICS (3-vector wrench from cylinder "
+                         "penetration, franka_env.py:268-284 parity)")
     args = ap.parse_args()
 
     from ealv_tpu.utils.config import ExperimentConfig
@@ -46,6 +52,7 @@ def main():
         states="xyz", learn_force=True,
         traj_buffer_capacity=3000, buffer_capacity=3000,
         num_target_samples=2000, batch_size=64, num_learning_opt=25,
+        sim_backend=args.backend,
     )
     # contact-rich: tall, wide objects (the default duck/pineapple heights
     # only graze the z floor, so free exploration rarely makes contact)
@@ -109,7 +116,11 @@ def main():
     probes_tray = np.asarray(probes_tray, np.float32)
     for p in probes_tray:
         pose6 = jnp.asarray([p[0], p[1], p[2], np.pi, 0.0, 0.0])
-        truth.append(float(exp.env._contact_force(pose6, scene)))
+        if getattr(exp.env, "dynamic_contact", False):
+            w, _ = exp.env._contact_wrench(pose6, scene)
+            truth.append(float(jnp.linalg.norm(w)))
+        else:
+            truth.append(float(exp.env._contact_force(pose6, scene)))
     truth = np.asarray(truth)
     probes_r = ws_conversion(jnp.asarray(probes_tray),
                              jnp.asarray(cfg.tray_lim),
@@ -117,6 +128,8 @@ def main():
     free_env = exp.env.init(
         jnp.asarray([0.48, -0.10, 0.45, np.pi, 0.0, 0.0]), scene=scene)
     pose, vel, force, img = exp.env.observe(free_env)
+    if force.size > 1:  # dynamic-contact wrench -> the learned ||F|| channel
+        force = jnp.linalg.norm(force)[None]
     seed_x = exp._measured_robot_state(free_env)[: cfg.s_dim]
 
     @jax.jit

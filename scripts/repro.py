@@ -103,6 +103,13 @@ TABLES = {
         "doc": "PARITY 4: force-learning end-to-end, 1200 steps, seed 0",
         "cmd": _sub("force_study.py", "--steps", 1200, "--seed", 0),
     },
+    "force-dynamic": {
+        "doc": "PARITY 4: force learning on the penalty-contact arm plant "
+               "(contact force from simulated mechanics, franka_env.py "
+               ":268-284 parity), 1200 steps, seed 0",
+        "cmd": _sub("force_study.py", "--steps", 1200, "--seed", 0,
+                    "--backend", "arm-dynamic"),
+    },
     "bench": {
         "doc": "README headline: explore+learn step rate + inline breakdown",
         "cmd": [PY, os.path.join(REPO, "bench.py")],
@@ -129,7 +136,7 @@ for s in (0, 1, 2):
     }
 
 
-def planner_study(seeds=(0, 1, 2), steps=300, out_dir=None,
+def planner_study(seeds=tuple(range(10)), steps=300, out_dir=None,
                   run_torch=True):
     """PARITY section 2: the reference's own demo spec (klerg.py:754-843)
     run seeds-matched through BOTH planners — states 'xyXY', Gaussian
@@ -173,11 +180,16 @@ def planner_study(seeds=(0, 1, 2), steps=300, out_dir=None,
     for seed in seeds:
         np.random.seed(seed)
         x0 = jnp.array([0.5, -0.5, 0.0, 0.0])
+        # seed=seed: the planner PRNG must vary per row (round-5 fix — the
+        # earlier study left init_state at seed=0, collapsing the ealv rows
+        # to one deterministic run)
         ps = planner.init_state(x0, robot_lim, barrier,
-                                buffer_capacity=2000, explr_lim_scale=1.15)
+                                buffer_capacity=2000, explr_lim_scale=1.15,
+                                seed=seed)
         ps, *_ = step(ps)  # warm the compile out of the timing
         ps = planner.init_state(x0, robot_lim, barrier,
-                                buffer_capacity=2000, explr_lim_scale=1.15)
+                                buffer_capacity=2000, explr_lim_scale=1.15,
+                                seed=seed)
         path = []
         t0 = time.perf_counter()
         for _ in range(steps):
@@ -232,6 +244,18 @@ def planner_study(seeds=(0, 1, 2), steps=300, out_dir=None,
         lines.append(f"| {seed} | {impl} | {m['late_x']:.3f} | "
                      f"{m['frac_x_neg']:.2f} | {m['y_std']:.2f} | "
                      f"{m['steps_per_s']:.1f} |")
+    # per-implementation aggregate row (the spread claim's actual evidence)
+    for impl in ("ealv", "torch"):
+        ms = [m for i, _, m in rows if i == impl]
+        if not ms:
+            continue
+        lx = np.array([m["late_x"] for m in ms])
+        fx = np.array([m["frac_x_neg"] for m in ms])
+        ys = np.array([m["y_std"] for m in ms])
+        lines.append(
+            f"| mean±std ({len(ms)} seeds) | {impl} | "
+            f"{lx.mean():.3f}±{lx.std():.3f} | {fx.mean():.2f}±{fx.std():.2f} "
+            f"| {ys.mean():.2f}±{ys.std():.2f} | |")
     table = "\n".join(lines)
     print(table)
     if out_dir:

@@ -177,6 +177,31 @@ class TestArmExperiment:
         assert np.isfinite(pose).all()
         assert abs(pose[0]) < 1.2
 
+    def test_tick_runs_on_dynamic_contact_backend(self):
+        # the full fused tick with the penalty-contact plant: the 3-vector
+        # wrench reduces to ||F|| in absorb_step, learn_force consumes it
+        from ealv_tpu.utils.config import ExperimentConfig
+        from ealv_tpu.runtime import Experiment
+        cfg = ExperimentConfig(
+            states="xyz", learn_force=True,
+            image_dim=(24, 24, 3),
+            cnn_kernels=(3, 3), cnn_strides=(2, 2), cnn_channels=(8, 8),
+            hidden_dim=(64, 32), z_dim=8,
+            num_target_samples=128, num_traj_samples=64,
+            traj_buffer_capacity=256, buffer_capacity=256,
+            batch_size=8, num_learning_opt=2,
+            sim_backend="arm-dynamic", obj_mobility=0.2,
+        )
+        exp = Experiment(cfg, train_calls_per_tick=1)
+        assert exp.env.dynamic_contact
+        es = exp.init(seed=0)
+        tick = jax.jit(exp.tick)
+        for _ in range(5):
+            es, info = tick(es)
+        assert int(es.explr_step) == 5
+        assert np.isfinite(float(info["loss"]))
+        assert np.isfinite(np.asarray(es.buf.force)).all()
+
 
 @pytest.mark.slow
 class TestArmRobustnessIntegration:
@@ -219,3 +244,111 @@ class TestArmRobustnessIntegration:
                           reset_fn=reset_fn)
         assert ok
         np.testing.assert_allclose(pos[:3], [0.5, 0.05, 0.32], atol=0.02)
+
+
+class TestDynamicContact:
+    """Penalty-contact mechanics (VERDICT r4 #5): 3-vector contact force
+    from cylinder penetration along the minimal exit direction, object
+    displacement under obj_mobility, deep-contact motion blocking, and the
+    escape path firing from a MECHANICAL wedge (parity targets:
+    franka_env.py:268-284 EE reaction force on useFixedBase objects;
+    vel_move_force_norm escape, sensor_utils.py:460-476)."""
+
+    from ealv_tpu.sim.renderer import TrayScene
+
+    def _env(self, mobility=0.0, **kw):
+        return make_env(dynamic_contact=True, obj_mobility=mobility, **kw)
+
+    def _scene(self):
+        # one big cylinder reaching well into the z band so side contact
+        # can exceed the 0.75*max_force blocking threshold
+        from ealv_tpu.sim.renderer import TrayScene
+        sc = TrayScene.default()
+        return sc._replace(
+            obj_xy=jnp.array([[0.45, 0.0], [0.95, 0.95]], jnp.float32),
+            obj_radius=jnp.array([0.08, 0.01], jnp.float32),
+            obj_height=jnp.array([0.45, 0.01], jnp.float32),
+        )
+
+    def test_side_contact_force_outward_and_proportional(self):
+        env = self._env()
+        sc = self._scene()
+        # EE radially inside the cylinder side, well below its top
+        pose = jnp.array([0.45 + 0.06, 0.0, 0.25, np.pi, 0.0, 0.0])
+        f, push = env._contact_wrench(pose, sc)
+        f = np.asarray(f)
+        assert f[0] > 1.0 and abs(f[1]) < 1e-5 and abs(f[2]) < 1e-5
+        np.testing.assert_allclose(f[0], 500.0 * (0.08 - 0.06), rtol=1e-5)
+        # deeper penetration -> larger force
+        f2, _ = env._contact_wrench(pose.at[0].set(0.45 + 0.04), sc)
+        assert float(f2[0]) > f[0]
+        # fixed-base objects (reference parity): zero displacement
+        np.testing.assert_allclose(np.asarray(push), 0.0)
+
+    def test_top_contact_pushes_up(self):
+        env = self._env()
+        sc = self._scene()
+        pose = jnp.array([0.45, 0.0, 0.44, np.pi, 0.0, 0.0])  # pressing top
+        f, _ = env._contact_wrench(pose, sc)
+        f = np.asarray(f)
+        assert f[2] > 1.0 and abs(f[0]) < 1e-5 and abs(f[1]) < 1e-5
+        np.testing.assert_allclose(f[2], 500.0 * (0.45 - 0.44), rtol=1e-4)
+
+    def test_free_space_zero_force(self):
+        env = self._env()
+        f, _ = env._contact_wrench(
+            jnp.array([0.7, -0.3, 0.45, np.pi, 0.0, 0.0]), self._scene())
+        np.testing.assert_allclose(np.asarray(f), 0.0)
+
+    def test_object_displaces_when_pushed(self):
+        env = self._env(mobility=0.5)
+        sc = self._scene()
+        s = env.init(jnp.array([0.45 + 0.075, 0.0, 0.25, np.pi, 0.0, 0.0]),
+                     scene=sc)
+        step = jax.jit(lambda st: env.step_vel(st, jnp.array(
+            [-0.05, 0.0, 0.0, 0.0, 0.0, 0.0])))
+        x0 = float(s.scene.obj_xy[0, 0])
+        for _ in range(12):
+            s = step(s)
+        assert float(s.scene.obj_xy[0, 0]) < x0 - 1e-4  # pushed away (-x)
+        assert abs(float(s.scene.obj_xy[1, 0]) - 0.95) < 1e-6  # untouched
+
+    def test_mechanical_wedge_fires_escape_and_frees(self):
+        """The pinned wedge scenario: deep side contact blocks motion into
+        the object -> the EE stops -> StuckDetector proposes the escape
+        along the +force direction -> applying it frees the robot and the
+        force drops. Force here comes from simulated contact mechanics,
+        not a scripted bridge."""
+        from ealv_tpu.runtime.watchdog import StuckDetector
+
+        env = self._env()
+        sc = self._scene()
+        # deep contact: penetration 0.05 -> 25 N > 0.75 * 30 N threshold
+        s = env.init(jnp.array([0.45 + 0.03, 0.0, 0.25, np.pi, 0.0, 0.0]),
+                     scene=sc)
+        into = jnp.array([-0.05, 0.0, 0.0, 0.0, 0.0, 0.0])
+        step = jax.jit(lambda st, c: env.step_vel(st, c))
+        s = step(s, into)
+        pose1 = np.asarray(s.pose)
+        s = step(s, into)
+        pose2 = np.asarray(s.pose)
+        _, _, force, _ = env.observe(s)
+        assert np.linalg.norm(np.asarray(force)) > 0.75 * env.max_force
+        # blocked: the commanded motion into the object did not move the EE
+        assert np.linalg.norm(pose2 - pose1) < 1e-5
+
+        det = StuckDetector()
+        ok, escape = det.check(pose1, force=np.asarray(force))
+        assert ok  # first call only records
+        ok, escape = det.check(pose2, force=np.asarray(force))
+        assert not ok and escape is not None
+        # escape points along +force = OUT of the object (+x here)
+        assert escape[0] > 0 and abs(escape[1]) < 1e-3
+
+        esc6 = jnp.zeros(6).at[:3].set(jnp.asarray(escape[:3]))
+        for _ in range(30):  # 0.05 m/s x 0.04 s = 2 mm/step out of 50 mm in
+            s = step(s, esc6)
+        _, _, force2, _ = env.observe(s)
+        assert float(np.linalg.norm(np.asarray(force2))) < 0.2 * float(
+            np.linalg.norm(np.asarray(force)))
+        assert float(s.pose[0]) > pose2[0] + 1e-4  # actually moved out

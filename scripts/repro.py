@@ -110,6 +110,13 @@ TABLES = {
         "cmd": _sub("force_study.py", "--steps", 1200, "--seed", 0,
                     "--backend", "arm-dynamic"),
     },
+    "resume": {
+        "doc": "SURVEY 5 beat: SIGKILL the flagship arm run mid-exploration, "
+               "--resume from the pytree checkpoint, assert the continuation "
+               "is bit-identical to an uninterrupted control run",
+        "cmd": _sub("resume_study.py", "--backend", "arm", "--steps", 200,
+                    "--save-rate", 50),
+    },
     "bench": {
         "doc": "README headline: explore+learn step rate + inline breakdown",
         "cmd": [PY, os.path.join(REPO, "bench.py")],

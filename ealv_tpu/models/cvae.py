@@ -76,6 +76,86 @@ class _FastValidConv(nn.Module):
         return y + b.astype(self.dtype)
 
 
+def _ceil_to(c: int, m: int) -> int:
+    return c + (-c) % m
+
+
+class _LanePadConv(nn.Module):
+    """nn.Conv(padding=VALID) drop-in (same 'kernel'/'bias' param tree, same
+    lecun-normal init) computing on LANE-PADDED operands: input channels and
+    weight planes are zero-padded to a multiple of ``lane`` at trace time,
+    and the padded output channels (exact zeros — zero weight columns, zero
+    bias) are carried through, so the conv contracts/broadcasts at lane-
+    friendly widths while the parameters, checkpoints, and math stay those
+    of the 3/10/10/20-channel reference model (test_config.yaml:70-80).
+    The hypothesis under test (VERDICT r4 #3): XLA's conv kernels on the
+    128-lane VPU/MXU waste most of each vector register at cin=3..20, and
+    explicit padding may buy a faster lowering than the padding the
+    hardware does implicitly. Measured in context by scripts/ab_lanepad.py."""
+
+    features: int
+    in_features: int
+    kernel: int
+    stride: int
+    lane: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, cin, cout = self.kernel, self.in_features, self.features
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, cin, cout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
+        x = x.astype(self.dtype)
+        cin_p = _ceil_to(x.shape[-1], self.lane)  # input may arrive padded
+        cout_p = _ceil_to(cout, self.lane)
+        if x.shape[-1] < cin_p:
+            x = jnp.pad(x, ((0, 0),) * (x.ndim - 1)
+                        + ((0, cin_p - x.shape[-1]),))
+        w_p = jnp.pad(w.astype(self.dtype),
+                      ((0, 0), (0, 0), (0, cin_p - cin), (0, cout_p - cout)))
+        b_p = jnp.pad(b.astype(self.dtype), (0, cout_p - cout))
+        dn = jax.lax.conv_dimension_numbers(x.shape, w_p.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, w_p, (self.stride, self.stride), "VALID",
+            dimension_numbers=dn)
+        return y + b_p
+
+
+class _LanePadConvTranspose(nn.Module):
+    """nn.ConvTranspose drop-in (same 'kernel'/'bias' param tree and
+    padding-spec semantics) on lane-padded operands — see _LanePadConv."""
+
+    features: int
+    in_features: int
+    kernel: int
+    strides: Tuple[int, int]
+    padding: tuple
+    lane: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, cin, cout = self.kernel, self.in_features, self.features
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, cin, cout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (cout,), jnp.float32)
+        x = x.astype(self.dtype)
+        cin_p = _ceil_to(x.shape[-1], self.lane)
+        cout_p = _ceil_to(cout, self.lane)
+        if x.shape[-1] < cin_p:
+            x = jnp.pad(x, ((0, 0),) * (x.ndim - 1)
+                        + ((0, cin_p - x.shape[-1]),))
+        w_p = jnp.pad(w.astype(self.dtype),
+                      ((0, 0), (0, 0), (0, cin_p - cin), (0, cout_p - cout)))
+        b_p = jnp.pad(b.astype(self.dtype), (0, cout_p - cout))
+        y = jax.lax.conv_transpose(
+            x, w_p, self.strides, self.padding,
+            rhs_dilation=(1, 1), transpose_kernel=False)
+        return y + b_p
+
+
 class ModelState(NamedTuple):
     """Target-distribution runtime state (the torch registered buffers
     seed_x/seed_y/z_samples/init of vae.py:95-101, plus the optional
@@ -121,6 +201,11 @@ class CVAE(nn.Module):
     # conv — same capacity per layer, avoids XLA's slow transposed-conv
     # gradients on TPU (also the standard checkerboard-artifact fix)
     decoder_mode: str = "conv_transpose"
+    # lane-packed conv layouts (VERDICT r4 #3): compute every conv /
+    # transposed conv on channel dims zero-padded to a multiple of this
+    # (8/16/32...), parameters and math unchanged. 0 = native shapes.
+    # Measured in context by scripts/ab_lanepad.py; see ARCHITECTURE §4.
+    lane_pad: int = 0
 
     def setup(self):
         (h, w), self._dims = conv_output_dims(
@@ -131,10 +216,15 @@ class CVAE(nn.Module):
         self.force_dim = 1 if self.learn_force else 0
 
         conv_cls = _FastValidConv if self.fast_encoder_grads else None
+        enc_cin = [self.img_dim[2]] + list(self.cnn_channels[:-1])
         self.enc_convs = [
             (conv_cls(features=c, kernel=k, stride=s, dtype=self.compute_dtype,
                       variant=self.fast_encoder_grads, name=f"enc_conv{i}")
              if conv_cls else
+             _LanePadConv(features=c, in_features=enc_cin[i], kernel=k,
+                          stride=s, lane=self.lane_pad,
+                          dtype=self.compute_dtype, name=f"enc_conv{i}")
+             if self.lane_pad else
              nn.Conv(c, (k, k), strides=(s, s), padding="VALID",
                      dtype=self.compute_dtype, name=f"enc_conv{i}"))
             for i, (k, s, c) in enumerate(
@@ -180,6 +270,17 @@ class CVAE(nn.Module):
                     (k - 1, k - 1 + (target[d] - ((in_hw[d] - 1) * s + k)))
                     for d in range(2)
                 )
+                if self.lane_pad:
+                    convs.append(
+                        _LanePadConvTranspose(
+                            features=c_out,
+                            in_features=(list(reversed(self.cnn_channels))
+                                         + [self.img_dim[2]])[i],
+                            kernel=k, strides=(s, s), padding=pads,
+                            lane=self.lane_pad, dtype=self.compute_dtype,
+                            name=f"dec_conv{i}")
+                    )
+                    continue
                 convs.append(
                     nn.ConvTranspose(c_out, (k, k), strides=(s, s),
                                      padding=pads, dtype=self.compute_dtype,
@@ -222,6 +323,10 @@ class CVAE(nn.Module):
             h = conv(h)
             if i < len(self.enc_convs) - 1:
                 h = nn.relu(h)
+        if self.lane_pad:
+            # padded channels are exact zeros carried through the stack;
+            # drop them before the flatten so feat_dim stays the model's
+            h = h[..., : self.inner_shape[2]]
         return h.reshape(h.shape[0], -1)
 
     def img_decode(self, feat):
@@ -246,6 +351,8 @@ class CVAE(nn.Module):
                                 mode="edge")
             if i < len(self.dec_convs) - 1:
                 h = nn.relu(h)
+        if self.lane_pad and h.shape[-1] != self.img_dim[2]:
+            h = h[..., : self.img_dim[2]]
         return h
 
     def encode_fn(self, x, y, force=None):

@@ -117,6 +117,7 @@ class Experiment:
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             decoder_mode=cfg.decoder_mode,
             fast_encoder_grads=cfg.fast_encoder_grads,
+            lane_pad=cfg.lane_pad,
         )
 
         # planner over position states (double integrator appends vels)

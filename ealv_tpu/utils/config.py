@@ -113,6 +113,10 @@ class ExperimentConfig:
     # fast_conv.py docstring for the scan-hoisting microbench trap).
     # 'pallas' selects the direct in-VMEM patch kernel (ops/pallas_wgrad.py)
     fast_encoder_grads: object = False
+    # compute every conv on channel dims zero-padded to a multiple of this
+    # lane width (8/16/32...; 0 = native shapes). Params/math unchanged —
+    # see models/cvae.py _LanePadConv and scripts/ab_lanepad.py
+    lane_pad: int = 0
     # trainer (test_config.yaml:83-104)
     model_lr: float = 1e-3
     batch_size: int = 64

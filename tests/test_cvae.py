@@ -238,3 +238,45 @@ class TestDecoderModes:
             got2 = subpixel_conv_transpose_d2s(x, W, s)
             np.testing.assert_allclose(np.asarray(got2), np.asarray(ref),
                                        rtol=1e-4, atol=1e-4)
+
+
+class TestLanePad:
+    """Lane-packed conv layouts (VERDICT r4 #3): lane_pad computes every
+    conv on channel dims zero-padded to a lane multiple with the SAME
+    parameters and math (models/cvae.py _LanePadConv). Padding with exact
+    zeros cannot change any f32 sum, so forward AND gradients must match
+    the native model on identical params."""
+
+    @pytest.mark.parametrize("lane", [8, 32])
+    def test_forward_and_grads_match_native(self, lane):
+        kw = dict(img_dim=(45, 45, 3), z_dim=6, s_dim=2, hidden_dim=(32, 16),
+                  cnn_kernels=(5, 5), cnn_strides=(3, 2),
+                  cnn_channels=(10, 10), learn_force=True)
+        m0, m1 = CVAE(**kw), CVAE(**kw, lane_pad=lane)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (3, 2), minval=-1,
+                               maxval=1)
+        y = jax.random.uniform(jax.random.PRNGKey(2), (3, 45, 45, 3))
+        f = jax.random.uniform(jax.random.PRNGKey(3), (3, 1))
+        p0 = m0.init({"params": key}, x, y, f, train=False)
+        p1 = m1.init({"params": key}, x, y, f, train=False)
+        assert jax.tree.all(jax.tree.map(lambda a, b: a.shape == b.shape,
+                                         p0, p1))
+
+        def run(m, p):
+            return m.apply(p, x, y, f, train=False, rngs={"reparam": key})
+
+        for a, b in zip(jax.tree.leaves(run(m0, p0)),
+                        jax.tree.leaves(run(m1, p0))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-6)
+
+        def loss(m):
+            return lambda p: sum(
+                jnp.sum(l.astype(jnp.float32) ** 2)
+                for l in jax.tree.leaves(run(m, p)))
+
+        for a, b in zip(jax.tree.leaves(jax.grad(loss(m0))(p0)),
+                        jax.tree.leaves(jax.grad(loss(m1))(p0))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)

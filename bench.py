@@ -296,10 +296,12 @@ def main():
     ap.add_argument("--selfcheck", action="store_true",
                     help="pre-flight: run the FULL bench path (probe, "
                          "dispatch calibration, inline+headline chunks, "
-                         "stage breakdown, JSON line) at toy sizes in <30 s "
-                         "so a breakage is caught in-round, not by the "
-                         "driver; accepts any backend (runnable on CPU) and "
-                         "marks the JSON line selfcheck:true")
+                         "stage breakdown, JSON line) at toy sizes so a "
+                         "breakage is caught in-round, not by the driver "
+                         "(~2 min CPU; 2-4 min over the TPU tunnel, wall "
+                         "dominated by dispatch overhead + compiles, not "
+                         "compute); accepts any backend (runnable on CPU) "
+                         "and marks the JSON line selfcheck:true")
     args = ap.parse_args()
 
     if args.selfcheck and os.environ.get("JAX_PLATFORMS"):

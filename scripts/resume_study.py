@@ -60,28 +60,59 @@ def _progress_step(log_path):
     return best
 
 
-def launch(cmd, log_path, kill_at=None, timeout=3600):
-    """Run one experiment subprocess; optionally SIGKILL it at a step."""
+def launch(cmd, log_path, kill_at=None, timeout=3600, stall=900,
+           retries=2, reset_dir=None):
+    """Run one experiment subprocess; optionally SIGKILL it at a step.
+
+    Stall watchdog: the tunneled TPU backend occasionally wedges a fresh
+    client at device acquisition (the process futex-waits forever with no
+    log output; observed round 5, twice). A healthy run emits its first
+    progress line within ~12 min (one cold remote compile); if the log
+    step doesn't advance for `stall` seconds the child is killed and the
+    phase relaunched (up to `retries` times). `reset_dir` is wiped before
+    a relaunch UNLESS the command resumes from a checkpoint — a fresh
+    non-resume run must not inherit a half-written run dir.
+    """
+    for attempt in range(retries + 1):
+        outcome = _launch_once(cmd, log_path, kill_at, timeout, stall)
+        if outcome != "stalled":
+            return outcome
+        print(f"      backend stall (no log progress in {stall}s) — "
+              f"retry {attempt + 1}/{retries}")
+        if reset_dir and "--resume" not in cmd:
+            shutil.rmtree(reset_dir, ignore_errors=True)
+    raise RuntimeError(f"stalled {retries + 1} times: {' '.join(cmd)}")
+
+
+def _launch_once(cmd, log_path, kill_at, timeout, stall):
     proc = subprocess.Popen(cmd, cwd=REPO, stdout=subprocess.DEVNULL,
                             stderr=subprocess.STDOUT)
     t0 = time.time()
+    last_step, last_advance = -2, time.time()
     try:
-        if kill_at is None:
-            rc = proc.wait(timeout=timeout)
-            if rc != 0:
-                raise RuntimeError(f"run failed rc={rc}: {' '.join(cmd)}")
-            return "completed"
         while proc.poll() is None:
-            if _progress_step(log_path) >= kill_at:
+            step = _progress_step(log_path)
+            if step > last_step:
+                last_step, last_advance = step, time.time()
+            if kill_at is not None and step >= kill_at:
                 proc.send_signal(signal.SIGKILL)  # no cleanup, no flush
                 proc.wait()
                 return "killed"
+            if time.time() - last_advance > stall:
+                proc.kill()
+                proc.wait()
+                return "stalled"
             if time.time() - t0 > timeout:
-                raise RuntimeError("timed out waiting for the kill step")
+                raise RuntimeError(f"timed out: {' '.join(cmd)}")
             time.sleep(0.5)
-        raise RuntimeError(
-            f"run finished (rc={proc.returncode}) before reaching the kill "
-            f"step {kill_at} — raise --steps or lower --kill-step")
+        if kill_at is not None:
+            raise RuntimeError(
+                f"run finished (rc={proc.returncode}) before reaching the "
+                f"kill step {kill_at} — raise --steps or lower --kill-step")
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"run failed rc={proc.returncode}: {' '.join(cmd)}")
+        return "completed"
     finally:
         if proc.poll() is None:
             proc.kill()
@@ -146,6 +177,9 @@ def main():
     ap.add_argument("--out", default=os.path.join(REPO, "runs", "resume_study"))
     ap.add_argument("--keep", action="store_true",
                     help="keep the run dirs (several GB at flagship size)")
+    ap.add_argument("--reuse-control", action="store_true",
+                    help="skip the control run if a completed one (log "
+                         "progress at --steps) already sits in --out")
     args = ap.parse_args()
 
     if args.save_rate % args.chunk:
@@ -165,18 +199,25 @@ def main():
 
     out_a = os.path.join(args.out, "control")
     out_b = os.path.join(args.out, "interrupted")
-    for d in (out_a, out_b):
-        shutil.rmtree(d, ignore_errors=True)
-
     dir_a = _run_dir(out_a, args.method, args.seed)
     dir_b = _run_dir(out_b, args.method, args.seed)
 
-    print(f"[1/3] control run: {args.steps} steps")
-    launch(base + ["--out", out_a], os.path.join(dir_a, "log.txt"))
+    reuse = (args.reuse_control
+             and _progress_step(os.path.join(dir_a, "log.txt")) >= args.steps)
+    shutil.rmtree(out_b, ignore_errors=True)
+    if not reuse:
+        shutil.rmtree(out_a, ignore_errors=True)
+
+    if reuse:
+        print(f"[1/3] control run: reusing completed run in {dir_a}")
+    else:
+        print(f"[1/3] control run: {args.steps} steps")
+        launch(base + ["--out", out_a], os.path.join(dir_a, "log.txt"),
+               reset_dir=out_a)
 
     print(f"[2/3] interrupted run: SIGKILL at step >= {kill_at}")
     state = launch(base + ["--out", out_b], os.path.join(dir_b, "log.txt"),
-                   kill_at=kill_at)
+                   kill_at=kill_at, reset_dir=out_b)
     print(f"      {state} at step ~{_progress_step(os.path.join(dir_b, 'log.txt'))}; resuming")
     launch(base + ["--out", out_b, "--resume"],
            os.path.join(dir_b, "log.txt"))

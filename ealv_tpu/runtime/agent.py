@@ -175,12 +175,14 @@ class Experiment:
         # environment over the full 6-dof tray box
         from ..utils.config import TRAY_LIM
         tray6 = tuple(TRAY_LIM[s] for s in "xyzrpw")
-        if cfg.sim_backend in ("arm", "arm-dynamic"):
+        if cfg.sim_backend in ("arm", "arm-dynamic", "arm-dynamic-soft"):
             from ..sim.arm import ArmEnv
-            self.env = ArmEnv(tray_lim=tray6, dt=sim_dt,
-                              img_hw=cfg.image_dim[:2],
-                              dynamic_contact=cfg.sim_backend == "arm-dynamic",
-                              obj_mobility=cfg.obj_mobility)
+            self.env = ArmEnv(
+                tray_lim=tray6, dt=sim_dt,
+                img_hw=cfg.image_dim[:2],
+                dynamic_contact=cfg.sim_backend.startswith("arm-dynamic"),
+                soft_objects=cfg.sim_backend == "arm-dynamic-soft",
+                obj_mobility=cfg.obj_mobility)
         else:
             self.env = SyntheticEnv(tray_lim=tray6, dt=sim_dt,
                                     img_hw=cfg.image_dim[:2])

@@ -159,6 +159,16 @@ class ArmEnv:
     dynamic_contact: bool = False
     contact_stiffness: float = 500.0
     obj_mobility: float = 0.0
+    # Soft objects (reference: the loadSoftBody swap, franka_env.py:160-162,
+    # Neo-Hookean deformables in place of fixed-base URDFs). Behavioral
+    # analog here: compliant contact — the object yields, so (a) force per
+    # penetration is lower (soft_compliance x stiffness) and saturates with
+    # depth as the body deforms around the EE, and (b) deep contact never
+    # hard-blocks motion (no mechanical wedge: the EE presses through soft
+    # material with resistance instead of stopping). The table stays rigid.
+    soft_objects: bool = False
+    soft_compliance: float = 0.3  # fraction of rigid stiffness at depth->0
+    soft_sat_depth: float = 0.05  # m; depth at which force halves vs linear
 
     def _lims(self):
         return jnp.asarray(self.tray_lim, jnp.float32)
@@ -232,8 +242,10 @@ class ArmEnv:
         inside = (pen_side > 0) & (pen_top > 0)
         side_exit = pen_side < pen_top  # minimal-translation direction
         f_side = jnp.where((inside & side_exit)[:, None],
-                           k * pen_side[:, None] * n_xy, 0.0)  # (K, 2)
-        f_top = jnp.where(inside & ~side_exit, k * pen_top, 0.0)  # (K,)
+                           self._pen_force(pen_side)[:, None] * n_xy,
+                           0.0)  # (K, 2)
+        f_top = jnp.where(inside & ~side_exit, self._pen_force(pen_top),
+                          0.0)  # (K,)
         force = jnp.concatenate([jnp.sum(f_side, 0),
                                  jnp.sum(f_top, keepdims=True)])
         table_z = self._lims()[2, 0] - 0.01
@@ -247,6 +259,19 @@ class ArmEnv:
         scale = jnp.where(norm > self.max_force, self.max_force
                           / jnp.maximum(norm, 1e-9), 1.0)
         return force * scale, push_xy
+
+    def _pen_force(self, depth):
+        """Object contact-force magnitude for a penetration depth.
+
+        Rigid (default): stiffness x depth, the penalty analog of the
+        fixed-base URDF collision (franka_env.py:158-166). Soft: the body
+        yields — initial stiffness soft_compliance x k, saturating as
+        k_soft * d / (1 + d / soft_sat_depth) for large-deformation
+        compliance (the loadSoftBody variant, franka_env.py:160-162)."""
+        if not self.soft_objects:
+            return self.contact_stiffness * depth
+        k_soft = self.contact_stiffness * self.soft_compliance
+        return k_soft * depth / (1.0 + depth / self.soft_sat_depth)
 
     def _apply_contact(self, s: "ArmState", q) -> TrayScene:
         """Displace side-pushed objects (dynamic_contact only)."""
@@ -265,10 +290,13 @@ class ArmEnv:
             # deep contact obstructs motion INTO the contact normal (the
             # rigid plant physically stops there, producing the wedge the
             # escape path exists for: vel_move_force_norm fires along the
-            # +force direction, which is exactly the free direction here)
+            # +force direction, which is exactly the free direction here).
+            # Soft objects never block: the deformable yields under the EE
+            # (loadSoftBody variant), so contact force rises but motion
+            # proceeds.
             f3, _ = self._contact_wrench(s.pose, s.scene)
             fn = jnp.linalg.norm(f3)
-            blocked = fn > 0.75 * self.max_force
+            blocked = (fn > 0.75 * self.max_force) & (not self.soft_objects)
             n = f3 / jnp.maximum(fn, 1e-9)  # force pushes the EE OUT
             into = jnp.maximum(jnp.dot(cmd[:3], -n), 0.0)
             cmd = cmd.at[:3].set(

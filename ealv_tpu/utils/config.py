@@ -82,7 +82,10 @@ class ExperimentConfig:
     # DLS IK pose control, drift correction — sim/arm.py),
     # 'arm-dynamic' = same arm with penalty contact mechanics: 3-vector
     # contact force from cylinder penetration (franka_env.py:268-284
-    # parity) and optional object displacement (obj_mobility > 0)
+    # parity) and optional object displacement (obj_mobility > 0),
+    # 'arm-dynamic-soft' = soft (compliant, saturating-force, never
+    # motion-blocking) objects — the loadSoftBody variant
+    # (franka_env.py:160-162)
     sim_backend: str = "free"
     obj_mobility: float = 0.0  # m displaced per m of side penetration
     # model (test_config.yaml:69-82)

@@ -35,11 +35,14 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval-samples", type=int, default=256)
     ap.add_argument("--backend", default="free",
-                    choices=("free", "arm", "arm-dynamic"),
+                    choices=("free", "arm", "arm-dynamic",
+                             "arm-dynamic-soft"),
                     help="plant: 'free' height-field contact (the original "
                          "study), 'arm-dynamic' = 7-DOF arm with penalty "
                          "contact MECHANICS (3-vector wrench from cylinder "
-                         "penetration, franka_env.py:268-284 parity)")
+                         "penetration, franka_env.py:268-284 parity), "
+                         "'arm-dynamic-soft' = compliant soft objects "
+                         "(loadSoftBody variant, franka_env.py:160-162)")
     args = ap.parse_args()
 
     from ealv_tpu.utils.config import ExperimentConfig

@@ -32,11 +32,15 @@ def main():
     ap.add_argument("--method", default="entklerg",
                     choices=["entklerg", "unifklerg", "uniform", "randomWalk"])
     ap.add_argument("--states", default="xyw")
-    ap.add_argument("--backend", default=None, choices=["free", "arm"],
-                    help="simulator backend: 'free' (free-flying EE) or "
+    ap.add_argument("--backend", default=None,
+                    choices=["free", "arm", "arm-dynamic",
+                             "arm-dynamic-soft"],
+                    help="simulator backend: 'free' (free-flying EE), "
                          "'arm' (7-DOF modified-DH kinematic arm with "
                          "Jacobian-pinv velocity control, drift, and "
-                         "joint-limit failure modes)")
+                         "joint-limit failure modes), 'arm-dynamic' "
+                         "(+penalty contact mechanics), 'arm-dynamic-soft' "
+                         "(compliant/soft objects, loadSoftBody variant)")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="runs")

@@ -352,3 +352,77 @@ class TestDynamicContact:
         assert float(np.linalg.norm(np.asarray(force2))) < 0.2 * float(
             np.linalg.norm(np.asarray(force)))
         assert float(s.pose[0]) > pose2[0] + 1e-4  # actually moved out
+
+
+class TestSoftObjects:
+    """Soft (compliant) object variant — the reference's loadSoftBody swap
+    (franka_env.py:160-162, Neo-Hookean deformables in place of fixed-base
+    URDFs). Behavioral parity targets: lower contact force per penetration,
+    force saturating with depth as the body deforms, and NO mechanical
+    wedge (the EE presses through soft material instead of stopping)."""
+
+    def _scene(self):
+        from ealv_tpu.sim.renderer import TrayScene
+        sc = TrayScene.default()
+        return sc._replace(
+            obj_xy=jnp.array([[0.45, 0.0], [0.95, 0.95]], jnp.float32),
+            obj_radius=jnp.array([0.08, 0.01], jnp.float32),
+            obj_height=jnp.array([0.45, 0.01], jnp.float32),
+        )
+
+    def _envs(self):
+        rigid = make_env(dynamic_contact=True)
+        soft = make_env(dynamic_contact=True, soft_objects=True)
+        return rigid, soft
+
+    def test_soft_force_below_rigid_at_same_depth(self):
+        rigid, soft = self._envs()
+        sc = self._scene()
+        pose = jnp.array([0.45 + 0.06, 0.0, 0.25, np.pi, 0.0, 0.0])
+        f_r, _ = rigid._contact_wrench(pose, sc)
+        f_s, _ = soft._contact_wrench(pose, sc)
+        assert 0.0 < float(f_s[0]) < float(f_r[0])
+        # same outward direction, K*soft_compliance bound at depth->0
+        assert float(f_s[0]) <= soft.soft_compliance * float(f_r[0]) + 1e-6
+
+    def test_soft_force_saturates_with_depth(self):
+        _, soft = self._envs()
+        sc = self._scene()
+        shallow = jnp.array([0.45 + 0.06, 0.0, 0.25, np.pi, 0.0, 0.0])
+        deep = jnp.array([0.45 + 0.04, 0.0, 0.25, np.pi, 0.0, 0.0])
+        f1, _ = soft._contact_wrench(shallow, sc)  # depth 0.02
+        f2, _ = soft._contact_wrench(deep, sc)     # depth 0.04
+        # monotone but sub-linear: doubling depth less than doubles force
+        assert float(f1[0]) < float(f2[0]) < 2.0 * float(f1[0])
+
+    def test_soft_contact_never_blocks_motion(self):
+        """The rigid wedge scenario from TestDynamicContact: in soft mode
+        the same deep-contact push-in proceeds (deformable yields)."""
+        rigid, soft = self._envs()
+        sc = self._scene()
+        start = jnp.array([0.45 + 0.03, 0.0, 0.25, np.pi, 0.0, 0.0])
+        into = jnp.array([-0.05, 0.0, 0.0, 0.0, 0.0, 0.0])
+
+        s_r = rigid.init(start, scene=sc)
+        s_r = rigid.step_vel(rigid.step_vel(s_r, into), into)
+        # rigid: blocked (pose pinned after the first contact step)
+        p1 = np.asarray(rigid.step_vel(s_r, into).pose)
+        p2 = np.asarray(rigid.step_vel(rigid.step_vel(s_r, into), into).pose)
+        assert np.linalg.norm(p2 - p1) < 1e-5
+
+        s_s = soft.init(start, scene=sc)
+        x0 = float(s_s.pose[0])
+        for _ in range(5):
+            s_s = soft.step_vel(s_s, into)
+        assert float(s_s.pose[0]) < x0 - 1e-3  # kept moving in
+        _, _, force, _ = soft.observe(s_s)
+        assert float(np.linalg.norm(np.asarray(force))) > 0.5  # resisted
+
+    def test_soft_backend_string_wires_through_experiment(self):
+        from ealv_tpu.runtime.agent import Experiment
+        from ealv_tpu.utils.config import ExperimentConfig
+        cfg = ExperimentConfig(states="xyw", image_dim=(32, 32, 3),
+                               sim_backend="arm-dynamic-soft",
+                               num_target_samples=64, buffer_capacity=64)
+        exp = Experiment(cfg, train_calls_per_tick=0)
+        assert exp.env.dynamic_contact and exp.env.soft_objects

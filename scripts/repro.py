@@ -110,6 +110,13 @@ TABLES = {
         "cmd": _sub("force_study.py", "--steps", 1200, "--seed", 0,
                     "--backend", "arm-dynamic"),
     },
+    "force-soft": {
+        "doc": "PARITY 4: force learning on the soft-object arm plant "
+               "(compliant saturating contact, the loadSoftBody variant "
+               "franka_env.py:160-162), 1200 steps, seed 0",
+        "cmd": _sub("force_study.py", "--steps", 1200, "--seed", 0,
+                    "--backend", "arm-dynamic-soft"),
+    },
     "resume": {
         "doc": "SURVEY 5 beat: SIGKILL the flagship arm run mid-exploration, "
                "--resume from the pytree checkpoint, assert the continuation "

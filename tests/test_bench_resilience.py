@@ -137,6 +137,65 @@ def test_probe_rejects_cpu_fallback_platform():
     assert bench_mod._probe_outcome(3, "", "boom", overridden=True).startswith("rc=3")
 
 
+def test_supervisor_kills_and_reports_zero_output_stall(tmp_path):
+    """Round-5 observed failure mode: a fresh bench process wedges at
+    device acquisition with ZERO output, forever — nothing in-process can
+    catch it. The supervisor (the default entry path) must kill the silent
+    child, relaunch it fresh, and after the relaunch budget emit the
+    structured stage="stall" JSON with rc=0. Simulated with a probe that
+    sleeps silently longer than the stall threshold."""
+    r = _run_bench({
+        "EALV_BENCH_PROBE_CMD": _probe_script(
+            tmp_path, "import time; time.sleep(600)"),
+        "EALV_BENCH_PROBE_RETRIES": "1",
+        "EALV_BENCH_PROBE_TIMEOUT": "590",  # child stays silent that long
+        "EALV_BENCH_STALL_S": "3",
+        "EALV_BENCH_RELAUNCHES": "1",
+    }, timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout
+    rec = json.loads(lines[0])
+    assert rec["value"] is None
+    assert rec["error"]["kind"] == "backend_unavailable"
+    assert rec["error"]["stage"] == "stall"
+    assert len(rec["error"]["attempts"]) == 2  # launch + one relaunch
+    for a in rec["error"]["attempts"]:
+        assert a["outcome"].startswith("stalled")
+    assert r.stderr.count("supervisor: child produced no output") == 2
+
+
+def test_supervisor_passthrough_preserves_child_contract(tmp_path):
+    """A child that exits cleanly (here: the structured probe-failure
+    path) must pass through the supervisor byte-identical: rc 0, ONE
+    stdout JSON line, child stderr forwarded."""
+    r = _run_bench({
+        "EALV_BENCH_PROBE_CMD": _probe_script(
+            tmp_path, "import sys; sys.exit(3)"),
+        "EALV_BENCH_PROBE_RETRIES": "1",
+        "EALV_BENCH_PROBE_TIMEOUT": "10",
+    })
+    assert r.returncode == 0
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1
+    assert json.loads(lines[0])["error"]["stage"] == "probe"
+    assert "probe attempt 1/1 failed" in r.stderr
+
+
+def test_probe_timeout_reap_is_bounded(tmp_path):
+    """_run_probe_once must return within ~timeout even when the child
+    ignores nothing but takes forever (plain sleep): rc=None, no hang."""
+    import time as _time
+
+    import bench as bench_mod
+
+    t0 = _time.time()
+    out, err, rc = bench_mod._run_probe_once(
+        [sys.executable, "-c", "import time; time.sleep(60)"], timeout=2)
+    assert rc is None
+    assert _time.time() - t0 < 15
+
+
 @pytest.mark.slow
 def test_selfcheck_runs_full_path_at_toy_sizes():
     """`bench.py --selfcheck` (VERDICT r4 #10): the full bench path — probe,

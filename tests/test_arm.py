@@ -313,6 +313,7 @@ class TestDynamicContact:
         assert float(s.scene.obj_xy[0, 0]) < x0 - 1e-4  # pushed away (-x)
         assert abs(float(s.scene.obj_xy[1, 0]) - 0.95) < 1e-6  # untouched
 
+    @pytest.mark.slow
     def test_mechanical_wedge_fires_escape_and_frees(self):
         """The pinned wedge scenario: deep side contact blocks motion into
         the object -> the EE stops -> StuckDetector proposes the escape
@@ -395,6 +396,7 @@ class TestSoftObjects:
         # monotone but sub-linear: doubling depth less than doubles force
         assert float(f1[0]) < float(f2[0]) < 2.0 * float(f1[0])
 
+    @pytest.mark.slow
     def test_soft_contact_never_blocks_motion(self):
         """The rigid wedge scenario from TestDynamicContact: in soft mode
         the same deep-contact push-in proceeds (deformable yields)."""

@@ -99,6 +99,7 @@ class TestClusterMonitor:
         assert cluster_stability_error(a, b) < 1e-12
         assert cluster_stability_error(a, a[:1]) == np.inf
 
+    @pytest.mark.slow
     def test_monitor_stability_gate(self, tmp_path):
         from ealv_tpu.models import CVAE
         model = CVAE(img_dim=(16, 16, 3), z_dim=4, s_dim=2, hidden_dim=(32, 16),
@@ -188,6 +189,7 @@ class TestPlotting:
 
 
 class TestEvaluate:
+    @pytest.mark.slow
     def test_evaluate_test_set(self, tmp_path, rng):
         from ealv_tpu.models import CVAE
         from ealv_tpu.runtime.evaluate import evaluate_test_set, imagined_views

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ealv_tpu.control import (
     BarrierFunction,
@@ -110,6 +111,7 @@ class TestPolicies:
         dmu = np.asarray(p.dx(x, jnp.zeros(2)))
         assert dmu[0, 2] == -5.0 and dmu[1, 3] == 0.0
 
+    @pytest.mark.slow
     def test_lqr_stabilizes(self):
         dyn = DoubleIntegrator(num_states=4, num_actions=2, dt=0.1)
         p = make_policy("LQR", dyn, horizon=10)

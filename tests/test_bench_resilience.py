@@ -19,6 +19,10 @@ import sys
 
 import pytest
 
+# Every test here launches bench.py subprocesses (probe retries, induced
+# hangs, supervisor kill/relaunch) — pure integration, ~45 s total.
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 if REPO not in sys.path:  # repo root holds bench.py (not an installed pkg)

@@ -247,6 +247,7 @@ class TestLanePad:
     zeros cannot change any f32 sum, so forward AND gradients must match
     the native model on identical params."""
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("lane", [8, 32])
     def test_forward_and_grads_match_native(self, lane):
         kw = dict(img_dim=(45, 45, 3), z_dim=6, s_dim=2, hidden_dim=(32, 16),

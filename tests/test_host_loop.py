@@ -431,6 +431,7 @@ class _FakeRos:
         return _Pub()
 
 
+@pytest.mark.slow
 class TestRosBridgeServer:
     """Full ROS service surface (franka_module.py:108-131) SIL-tested with an
     injected rospy stand-in — only serve_ros's import shim needs real ROS."""

@@ -135,6 +135,7 @@ class TestPlannerMechanics:
         want_vel = 0.8 * meas[2:] + 0.2 * planned[2:]
         np.testing.assert_allclose(out.dyn.x[2:], want_vel, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_update_lims_shrinks_sampling(self):
         planner, pstate = build_planner(num_target_samples=200, num_traj_samples=30)
         pstate = planner.update_lims(pstate, jnp.array([0, 1]),
@@ -144,6 +145,7 @@ class TestPlannerMechanics:
         s = np.asarray(info["samples"])
         assert (np.abs(s[:, :2]) <= 0.2 + 1e-6).all()
 
+    @pytest.mark.slow
     def test_uniform_tdist_flag(self):
         planner, pstate = build_planner(
             num_target_samples=64, num_traj_samples=30, uniform_tdist=True,

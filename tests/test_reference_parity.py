@@ -361,6 +361,7 @@ class TestPlannerStepMatched:
             pstate = pstate._replace(memory=pstate.memory.push(jnp.asarray(h)))
         return planner, pstate
 
+    @pytest.mark.slow
     def test_target_dist_and_base_footprint(self, frozen, ref_robot,
                                             jax_planner):
         samples, hist, mu, var = frozen
@@ -381,6 +382,7 @@ class TestPlannerStepMatched:
             planner.std))
         np.testing.assert_allclose(q_jax, q_ref, rtol=2e-3, atol=1e-6)
 
+    @pytest.mark.slow
     def test_forward_backward_tapp_line_search(self, frozen, ref_robot,
                                                jax_planner):
         samples, hist, mu, var = frozen
@@ -448,6 +450,7 @@ class TestPlannerStepMatched:
         assert bool(ok) == bool(ok_ref)
         assert (int(ti), int(tf)) == (int(tau_ref[0]), int(tau_ref[1]))
 
+    @pytest.mark.slow
     def test_full_call_accepted_plan_matches(self, frozen, ref_robot,
                                              jax_planner):
         samples, hist, mu, var = frozen

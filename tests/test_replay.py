@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ealv_tpu.data import ReplayBuffer, TrajMemory
 
@@ -165,6 +166,7 @@ class TestBf16ImageRing:
         # stored value is the bf16 rounding of the input
         assert abs(float(buf.y[0, 0, 0, 0]) - 0.123456) < 1e-3
 
+    @pytest.mark.slow
     def test_training_quality_unaffected(self):
         l32 = self._train(jnp.float32)
         l16 = self._train(jnp.bfloat16)

@@ -32,6 +32,7 @@ def test_registry_commands_reference_existing_scripts():
         assert spec["doc"]
 
 
+@pytest.mark.slow
 def test_list_flag_prints_every_table():
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "repro.py"),
